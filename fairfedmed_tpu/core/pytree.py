@@ -1,0 +1,81 @@
+"""Parameter-pytree utilities.
+
+The reference moves weights around as torch ``state_dict``s keyed by dotted paths
+(e.g. ``prompt_learner.ctx``, ``...mlp.c_fc.lora_S.weight``) and dispatches
+aggregation behaviour on key substrings (utils/fed_utils.py:29,77).  Here model
+parameters are nested dicts of jax arrays; these helpers provide the dotted-path
+view used by federated aggregation, checkpointing and parameter counting.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import numpy as np
+
+
+def flatten_paths(tree: Any, sep: str = ".") -> dict:
+    """Nested dict → flat {dotted/indexed path: leaf} dict."""
+    out: dict[str, Any] = {}
+
+    def rec(node, prefix):
+        if isinstance(node, Mapping):
+            for k in node:
+                rec(node[k], f"{prefix}{sep}{k}" if prefix else str(k))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(v, f"{prefix}{sep}{i}" if prefix else str(i))
+        else:
+            out[prefix] = node
+
+    rec(tree, "")
+    return out
+
+
+def unflatten_paths(flat: Mapping[str, Any], sep: str = ".") -> dict:
+    """Inverse of :func:`flatten_paths` (always rebuilds dicts, never lists)."""
+    out: dict = {}
+    for path, leaf in flat.items():
+        node = out
+        parts = path.split(sep)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return out
+
+
+def tree_paths(tree: Any, sep: str = ".") -> list:
+    return list(flatten_paths(tree, sep=sep))
+
+
+def map_with_path(fn: Callable[[str, Any], Any], tree: Any, sep: str = ".") -> Any:
+    """Like tree_map but ``fn`` receives the dotted path as first argument."""
+    flat = flatten_paths(tree, sep=sep)
+    return unflatten_paths({k: fn(k, v) for k, v in flat.items()}, sep=sep)
+
+
+def path_mask(tree: Any, predicate: Callable[[str], bool], sep: str = ".") -> Any:
+    """Boolean pytree: True where the dotted path satisfies ``predicate``."""
+    return map_with_path(lambda p, _: predicate(p), tree, sep=sep)
+
+
+def select_by_path(tree: Any, predicate: Callable[[str], bool], sep: str = ".") -> dict:
+    """Sub-pytree containing only leaves whose path satisfies ``predicate``."""
+    flat = flatten_paths(tree, sep=sep)
+    return unflatten_paths({k: v for k, v in flat.items() if predicate(k)}, sep=sep)
+
+
+def merge_trees(base: Any, update: Any) -> Any:
+    """Deep merge: leaves in ``update`` override those in ``base``."""
+    flat = flatten_paths(base)
+    flat.update(flatten_paths(update))
+    return unflatten_paths(flat)
+
+
+def tree_size(tree: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def tree_to_numpy(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
