@@ -1,0 +1,75 @@
+"""Benchmark: FairLoRA CLIP ViT-B/16 federated train-step throughput on TPU.
+
+Canonical run shape (scripts/fairfedlora_fairfedmed.sh): batch 32, 224×224,
+FairLoRA rank 12 / α 2 on every resblock MLP, 2 prompts × 4 ctx tokens,
+OT=None, fp16→bf16.  Measures end-to-end forward+backward+update steps of the
+flagship model and prints ONE JSON line.
+
+``vs_baseline`` compares against REF_GPU_IMGS_PER_SEC — the PyTorch reference's
+measured-class throughput for this exact model/batch on its single-GPU setup
+(the repo publishes no timing numbers, SURVEY §6; this constant is our
+documented estimate for a V100-class card running the reference eagerly:
+~175 img/s for ViT-B/16 fp16 train-step at batch 32 with per-step host syncs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REF_GPU_IMGS_PER_SEC = 175.0
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from __graft_entry__ import _build_flagship
+    from fairfedmed_tpu.train.clip_common import cross_entropy
+
+    frozen, trainable, forward, clip_cfg = _build_flagship(
+        backbone="ViT-B/16", rank=12, num_groups=3)
+    tx = optax.sgd(1e-3, momentum=0.9, nesterov=False)
+    opt_state = tx.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, image, label, attr):
+        def loss_fn(t):
+            return cross_entropy(forward(t, frozen, image, attr), label)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    res = clip_cfg.image_resolution
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (BATCH, 3, res, res)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 2, (BATCH,)), jnp.int32)
+    attr = jnp.asarray(rng.integers(0, 3, (BATCH,)), jnp.int32)
+
+    for _ in range(WARMUP):
+        trainable, opt_state, loss = step(trainable, opt_state, image, label, attr)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        trainable, opt_state, loss = step(trainable, opt_state, image, label, attr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "fairlora_vitb16_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REF_GPU_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

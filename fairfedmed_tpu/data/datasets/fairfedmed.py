@@ -1,0 +1,233 @@
+"""FairFedMed-Oph dataset (NPZ SLO-fundus / 3D OCT B-scans + 6 demographic
+attributes).
+
+Reproduces FairFedMedDataset semantics (utils/data_utils.py:559-726):
+per-site CSV ``meta_site{k}_{attr}_{train,test}.csv`` with a ``filename``
+column; rows with attribute −1 or empty modality arrays are filtered; labels
+come from the NPZ ``glaucoma`` field; ``attrs`` is the int vector over all
+configured attributes.
+
+TPU-first redesign of the I/O path: the reference opens every NPZ two times at
+init and a third time per group-count query (data_utils.py:581-611,
+data_manager.py:443-460).  Here a one-pass metadata index (attrs, label,
+modality presence per file) is built once and cached as a JSON sidecar next to
+the CSV, so startup costs one scan ever, and ``count_by_attribute`` is a
+dictionary lookup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+from ...utils.registry import DATASET_REGISTRY
+
+MED_ATTRIBUTES = ("race", "language", "ethnicity", "gender", "maritalstatus", "hispanic")
+
+
+def _resize2d(img: np.ndarray, res: int) -> np.ndarray:
+    return cv2.resize(img.astype(np.float32), (res, res), interpolation=cv2.INTER_LINEAR)
+
+
+class FairFedMedDataset:
+    """One site's split; lazily decodes NPZs, eagerly indexes metadata."""
+
+    def __init__(
+        self,
+        base_path: str,
+        site: int,
+        attribute_type: Optional[str] = None,
+        attributes: Optional[List[str]] = None,
+        modality_type: Optional[str] = None,
+        resolution: int = 224,
+        depth: int = 3,
+        train: bool = True,
+        use_index_cache: bool = True,
+    ):
+        self.base_path = base_path
+        self.data_path = os.path.join(base_path, "all")
+        self.modality_type = modality_type
+        self.attribute_type = attribute_type
+        self.attributes = list(attributes or [])
+        self.resolution = resolution
+        self.depth = depth
+
+        split = "train" if train else "test"
+        csv_path = os.path.join(base_path, f"meta_site{site}_{attribute_type}_{split}.csv")
+        filenames = _read_filename_column(csv_path)
+
+        index = self._load_or_build_index(csv_path, filenames, use_index_cache)
+
+        # filter: attribute known (> -1) and target modality non-empty
+        self.data_files: List[str] = []
+        self.data_attrs: List[int] = []
+        self._labels: List[int] = []
+        self._attr_rows: List[List[int]] = []
+        modality_key = "oct_bscans" if modality_type in ("oct_bscans", "oct_bscans_3d") else modality_type
+        for fname in filenames:
+            meta = index[fname]
+            attr = meta["attrs"].get(attribute_type, 0)
+            if attribute_type in MED_ATTRIBUTES and attr <= -1:
+                continue
+            if not meta["modalities"].get(modality_key, False):
+                continue
+            self.data_files.append(fname)
+            self.data_attrs.append(attr)
+            self._labels.append(meta["label"])
+            self._attr_rows.append([meta["attrs"].get(k, -1) for k in self.attributes])
+
+    # ---------------------------------------------------------------- index
+    def _load_or_build_index(self, csv_path, filenames, use_cache):
+        cache_path = csv_path + ".index.json"
+        if use_cache and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if set(filenames).issubset(cached):
+                return cached
+        index = {}
+        keys = set(self.attributes) | ({self.attribute_type} if self.attribute_type else set())
+        for fname in filenames:
+            raw = np.load(os.path.join(self.data_path, fname), allow_pickle=True)
+            attrs = {k: int(raw[k]) for k in keys if k in raw}
+            modalities = {}
+            for mk in ("slo_fundus", "oct_bscans", "rnflt", "ilm", "clockhours"):
+                modalities[mk] = mk in raw.files and np.size(raw[mk]) > 0
+            index[fname] = {
+                "attrs": attrs,
+                "modalities": modalities,
+                "label": int(float(raw["glaucoma"])) if "glaucoma" in raw.files else 0,
+            }
+        if use_cache:
+            try:
+                with open(cache_path, "w") as f:
+                    json.dump(index, f)
+            except OSError:
+                pass
+        return index
+
+    # ---------------------------------------------------------------- access
+    def __len__(self):
+        return len(self.data_files)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.asarray(self._labels, np.int32)
+
+    @property
+    def attrs_matrix(self) -> np.ndarray:
+        """[len(self), num_attributes] int32."""
+        return np.asarray(self._attr_rows, np.int32).reshape(len(self), len(self.attributes))
+
+    def count_by_attribute(self, attr: str) -> List[int]:
+        """Group-size histogram [0..max_group] (data_manager.py:443-460)."""
+        col = self.attributes.index(attr) if attr in self.attributes else None
+        vals = (self.attrs_matrix[:, col] if col is not None
+                else np.asarray(self.data_attrs, np.int32))
+        if vals.size == 0:
+            return []
+        counts = np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1)
+        return counts.tolist()
+
+    def load_item(self, i: int):
+        """Decode one sample → (image float32 [C,H,W] raw 0-255 scale, label,
+        attrs int vector).  Modality branches mirror data_utils.py:624-713."""
+        raw = np.load(os.path.join(self.data_path, self.data_files[i]), allow_pickle=True)
+        m = self.modality_type
+        res = self.resolution
+
+        if m == "slo_fundus":
+            img = np.transpose(raw["slo_fundus"]).astype(np.float32)
+            if img.shape[0] != res or img.shape[1] != res:
+                img = _resize2d(img, res)
+            img = img[None]
+            if self.depth > 1:
+                img = np.repeat(img, self.depth, axis=0)
+        elif m == "oct_bscans":
+            oct_img = raw["oct_bscans"][::4].astype(np.float32)  # 128→32 slices
+            if oct_img.shape[1] != res:
+                oct_img = np.stack([_resize2d(s, res) for s in oct_img])
+            img = oct_img
+        elif m == "oct_bscans_3d":
+            img = raw["oct_bscans"].astype(np.float32)[None]
+        elif m == "rnflt":
+            img = raw["rnflt"].astype(np.float32)
+            if img.shape[0] != res:
+                img = _resize2d(img, res)
+            img = img[None]
+            if self.depth > 1:
+                img = np.repeat(img, self.depth, axis=0)
+        elif m == "ilm":
+            img = raw["ilm"].astype(np.float32)
+            img = img - img.min()
+            if img.shape[0] != res:
+                img = _resize2d(img, res)
+            img = img[None]
+            if self.depth > 1:
+                img = np.repeat(img, self.depth, axis=0)
+        elif m == "rnflt+ilm":
+            rn = raw["rnflt"].astype(np.float32)
+            if rn.shape[0] != res:
+                rn = _resize2d(rn, res)
+            il = raw["ilm"].astype(np.float32)
+            il = il - il.min()
+            if il.shape[0] != res:
+                il = _resize2d(il, res)
+            rn, il = rn[None], il[None]
+            if self.depth > 1:
+                rn = np.repeat(rn, self.depth, axis=0)
+                il = np.repeat(il, self.depth, axis=0)
+            img = np.concatenate([rn, il], axis=0)
+        elif m == "clockhours":
+            img = raw["clockhours"].astype(np.float32)
+        else:
+            raise NotImplementedError(m)
+
+        label = int(float(raw["glaucoma"]))
+        attrs = np.asarray([int(raw[k]) for k in self.attributes], np.int32)
+        return img.astype(np.float32), label, attrs
+
+
+def _read_filename_column(csv_path: str) -> List[str]:
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    assert "filename" in df.columns, "filename must be included in the head"
+    return list(df["filename"])
+
+
+@DATASET_REGISTRY.register()
+class FairFedMed:
+    """3-site FL dataset; classes {NOT Glaucoma, Glaucoma}
+    (datasets/FairFedMed.py:7-48)."""
+
+    dataset_dir = "fairfedmed"
+
+    def __init__(self, cfg):
+        root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
+        self.dataset_dir = os.path.join(root, self.dataset_dir)
+        self.num_classes = 2
+
+        self.federated_train_x = []
+        self.federated_test_x = []
+        for net_id in range(cfg.DATASET.USERS):
+            size = cfg.INPUT.SIZE[0] if not isinstance(cfg.INPUT.SIZE, str) else 224
+            common = dict(
+                base_path=self.dataset_dir,
+                site=net_id + 1,
+                attribute_type=cfg.DATASET.ATTRIBUTE_TYPE,
+                attributes=cfg.DATASET.ATTRIBUTES,
+                modality_type=cfg.DATASET.MODALITY_TYPE,
+                resolution=size,  # reference hardcodes 224 and asserts
+                depth=3,          # INPUT.SIZE == clip resolution; we follow SIZE
+            )
+            self.federated_train_x.append(FairFedMedDataset(train=True, **common))
+            self.federated_test_x.append(FairFedMedDataset(train=False, **common))
+
+        self.lab2cname = {0: "NOT Glaucoma", 1: "Glaucoma"}
+        # NOTE: the reference stores classnames as a python set (iteration order
+        # unstable across interpreters); we fix the documented order.
+        self.classnames = ["NOT Glaucoma", "Glaucoma"]

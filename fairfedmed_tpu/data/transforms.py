@@ -1,0 +1,221 @@
+"""Input transform pipeline (capability match of
+Dassl/dassl/data/transforms/transforms.py:15-360).
+
+Transforms are numpy functions over HWC float32 images in [0, 255]; the
+pipeline ends with to-CHW + optional normalize, mirroring the reference's
+Resize→(augment)→ToTensor→Normalize composition.  Randomness uses the global
+numpy RNG.
+
+Medical datasets (FairFedMed / FedChexMimic) bypass host transforms entirely:
+their normalisation runs inside the jitted model (as in the reference,
+GLP_OT_SVLoRA.py:677-693), and CIFAR's hardcoded normalize+resize runs
+on-device in the trainer (see data/datasets/cifar.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+AVAI_CHOICES = [
+    "random_flip", "random_resized_crop", "normalize", "instance_norm",
+    "random_crop", "random_translation", "center_crop", "cutout",
+    "imagenet_policy", "cifar10_policy", "svhn_policy", "randaugment",
+    "randaugment_fixmatch", "randaugment2", "gaussian_noise", "colorjitter",
+    "randomgrayscale", "gaussian_blur",
+]
+
+INTERP = {"bilinear": cv2.INTER_LINEAR, "nearest": cv2.INTER_NEAREST,
+          "bicubic": cv2.INTER_CUBIC}
+
+
+def _hwc(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[2] not in (1, 3):
+        img = img.transpose(1, 2, 0)  # CHW → HWC
+    return img.astype(np.float32)
+
+
+def resize(img, size, interpolation="bilinear"):
+    h, w = (size, size) if isinstance(size, int) else size
+    out = cv2.resize(img, (int(w), int(h)), interpolation=INTERP[interpolation])
+    return out if out.ndim == 3 else out[:, :, None]
+
+
+def random_flip(img):
+    return img[:, ::-1] if np.random.rand() < 0.5 else img
+
+
+def random_crop(img, size, padding=4):
+    h, w = (size, size) if isinstance(size, int) else size
+    img = np.pad(img, ((padding, padding), (padding, padding), (0, 0)), mode="constant")
+    top = np.random.randint(0, img.shape[0] - h + 1)
+    left = np.random.randint(0, img.shape[1] - w + 1)
+    return img[top : top + h, left : left + w]
+
+
+def center_crop(img, size):
+    h, w = (size, size) if isinstance(size, int) else size
+    top = max((img.shape[0] - h) // 2, 0)
+    left = max((img.shape[1] - w) // 2, 0)
+    return img[top : top + h, left : left + w]
+
+
+def random_resized_crop(img, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        interpolation="bilinear"):
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = area * np.random.uniform(*scale)
+        aspect = np.exp(np.random.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = np.random.randint(0, h - ch + 1)
+            left = np.random.randint(0, w - cw + 1)
+            crop = img[top : top + ch, left : left + cw]
+            return resize(crop, size, interpolation)
+    return resize(center_crop(img, min(h, w)), size, interpolation)
+
+
+def random_translation(img, shift=0.125):
+    h, w = img.shape[:2]
+    dx = int(np.random.uniform(-shift, shift) * w)
+    dy = int(np.random.uniform(-shift, shift) * h)
+    out = np.zeros_like(img)
+    src_y = slice(max(0, -dy), min(h, h - dy))
+    dst_y = slice(max(0, dy), min(h, h + dy))
+    src_x = slice(max(0, -dx), min(w, w - dx))
+    dst_x = slice(max(0, dx), min(w, w + dx))
+    out[dst_y, dst_x] = img[src_y, src_x]
+    return out
+
+
+def cutout(img, n_holes=1, length=16):
+    h, w = img.shape[:2]
+    out = img.copy()
+    for _ in range(n_holes):
+        y = np.random.randint(h)
+        x = np.random.randint(w)
+        y1, y2 = np.clip([y - length // 2, y + length // 2], 0, h)
+        x1, x2 = np.clip([x - length // 2, x + length // 2], 0, w)
+        out[y1:y2, x1:x2] = 0.0
+    return out
+
+
+def gaussian_noise(img, mean=0.0, std=0.15):
+    # reference applies on [0,1]-scale tensors; ours is 0-255 → scale std
+    return img + np.random.normal(mean, std * 255.0, size=img.shape).astype(np.float32)
+
+
+def colorjitter(img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+    out = img
+    b = 1.0 + np.random.uniform(-brightness, brightness)
+    out = out * b
+    c = 1.0 + np.random.uniform(-contrast, contrast)
+    mean = out.mean()
+    out = (out - mean) * c + mean
+    s = 1.0 + np.random.uniform(-saturation, saturation)
+    gray = out.mean(-1, keepdims=True)
+    out = gray + (out - gray) * s
+    return np.clip(out, 0, 255)
+
+
+def randomgrayscale(img, p=0.1):
+    if np.random.rand() < p:
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        return np.repeat(gray[..., None], img.shape[-1], axis=-1)
+    return img
+
+
+def gaussian_blur(img, k=21, p=0.5):
+    if np.random.rand() < p:
+        sigma = np.random.uniform(0.1, 2.0)
+        return cv2.GaussianBlur(img, (k, k), sigma).reshape(img.shape)
+    return img
+
+
+def instance_norm(img, eps=1e-8):
+    mean = img.mean((0, 1), keepdims=True)
+    std = img.std((0, 1), keepdims=True)
+    return (img - mean) / (std + eps)
+
+
+class Compose:
+    def __init__(self, fns: Sequence[Callable]):
+        self.fns = list(fns)
+
+    def __call__(self, img):
+        img = _hwc(img)
+        for fn in self.fns:
+            img = fn(img)
+        return img
+
+
+def _final(cfg, img_chw_float01: bool = True):
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
+    do_norm = "normalize" in cfg.INPUT.TRANSFORMS
+
+    def fn(img):
+        img = img.astype(np.float32) / 255.0
+        if do_norm:
+            img = (img - mean.reshape(1, 1, -1)) / std.reshape(1, 1, -1)
+        return img.transpose(2, 0, 1)  # HWC → CHW
+
+    return fn
+
+
+MEDICAL_DATASETS = {"FairFedMed", "FedChexMimic", "WangGrant"}
+IN_MEMORY_DATASETS = {"Cifar10", "Cifar100"}
+
+
+def build_transform(cfg, is_train: bool = True) -> Optional[Callable]:
+    """Compose the configured transforms (transforms.py:176-360).
+
+    Returns None for medical / in-memory datasets whose preprocessing runs
+    on-device (see module docstring).
+    """
+    if cfg.INPUT.NO_TRANSFORM or cfg.DATASET.NAME in MEDICAL_DATASETS | IN_MEMORY_DATASETS:
+        return None
+
+    size = cfg.INPUT.SIZE if not isinstance(cfg.INPUT.SIZE, str) else (224, 224)
+    choices = list(cfg.INPUT.TRANSFORMS)
+    interp = cfg.INPUT.INTERPOLATION
+    fns: List[Callable] = []
+
+    if is_train:
+        if "random_resized_crop" in choices:
+            fns.append(lambda x: random_resized_crop(x, size, scale=tuple(cfg.INPUT.RRCROP_SCALE), interpolation=interp))
+        else:
+            fns.append(lambda x: resize(x, size, interp))
+        if "random_crop" in choices:
+            fns.append(lambda x: random_crop(x, size, cfg.INPUT.CROP_PADDING))
+        if "random_translation" in choices:
+            fns.append(random_translation)
+        if "random_flip" in choices:
+            fns.append(random_flip)
+        if "colorjitter" in choices:
+            fns.append(lambda x: colorjitter(x, cfg.INPUT.COLORJITTER_B, cfg.INPUT.COLORJITTER_C,
+                                             cfg.INPUT.COLORJITTER_S, cfg.INPUT.COLORJITTER_H))
+        if "randomgrayscale" in choices:
+            fns.append(lambda x: randomgrayscale(x, cfg.INPUT.RGS_P))
+        if "gaussian_blur" in choices:
+            fns.append(lambda x: gaussian_blur(x, cfg.INPUT.GB_K, cfg.INPUT.GB_P))
+        if "gaussian_noise" in choices:
+            fns.append(lambda x: gaussian_noise(x, cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD))
+        if "cutout" in choices:
+            fns.append(lambda x: cutout(x, cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN))
+    else:
+        fns.append(lambda x: resize(x, size, interp))
+        if "center_crop" in choices:
+            fns.append(lambda x: center_crop(x, size))
+
+    fns.append(_final(cfg))
+    if "instance_norm" in choices:
+        fns.append(lambda x: instance_norm(x.transpose(1, 2, 0)).transpose(2, 0, 1))
+    return Compose(fns)

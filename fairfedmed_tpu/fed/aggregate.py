@@ -44,13 +44,22 @@ def _is_group_s(key: str, arr, freqs_by_attr) -> bool:
 
 
 def average_weights(
-    w: Sequence[Mapping[str, np.ndarray]],
+    w: Sequence,
     idxs_users: Sequence[int],
     datanumber_client: Sequence[int],
     datanumber_client_by_attr: Optional[Sequence[Sequence[int]]] = None,
+    islist: bool = False,
 ) -> dict:
-    """FedAvg over the selected clients' flat weight dicts."""
+    """FedAvg over the selected clients' flat weight dicts.
+
+    ``islist=True`` averages bare arrays instead of dicts (the FedOTP global
+    prompt slice path, fed_utils.py:21-26)."""
     freqs, freqs_by_attr = _freqs(idxs_users, datanumber_client, datanumber_client_by_attr)
+    if islist:
+        acc = np.zeros_like(np.asarray(w[idxs_users[0]], dtype=np.float32))
+        for r in idxs_users:
+            acc = acc + np.asarray(w[r], dtype=np.float32) * np.float32(freqs[r])
+        return acc.astype(np.asarray(w[idxs_users[0]]).dtype)
     first = idxs_users[0]
     out = {}
     for key, arr0 in w[first].items():

@@ -1,0 +1,158 @@
+"""OpenAI CLIP checkpoint → parameter-pytree converter.
+
+Mirrors the architecture inference of clip/model.py:633-670 (detect ViT vs RN
+from state_dict keys, read sizes from shapes) but emits our stacked-blocks
+pytree instead of building an nn.Module.  Torch is used only to deserialize
+the checkpoint on host (CPU).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .clip_model import CLIPConfig
+
+# SHA256-named download URLs of the public OpenAI checkpoints
+# (clip/clip.py:29-36).  No network in this environment — used only to derive
+# expected filenames in the cache directory.
+MODEL_FILES = {
+    "RN50": "RN50.pt",
+    "RN101": "RN101.pt",
+    "RN50x4": "RN50x4.pt",
+    "RN50x16": "RN50x16.pt",
+    "ViT-B/32": "ViT-B-32.pt",
+    "ViT-B/16": "ViT-B-16.pt",
+}
+
+
+def find_checkpoint(backbone_name: str, root: Optional[str] = None) -> Optional[str]:
+    fname = MODEL_FILES.get(backbone_name, backbone_name.replace("/", "-") + ".pt")
+    candidates = [
+        os.path.expanduser(os.path.join("~/.cache/clip", fname)),
+    ]
+    if root:
+        candidates.append(os.path.join(root, fname))
+        candidates.append(os.path.join(root, "clip", fname))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+    return {k: v.cpu().numpy() for k, v in sd.items()}
+
+
+def infer_config(sd: dict) -> CLIPConfig:
+    """Architecture inference from checkpoint keys (clip/model.py:633-656)."""
+    vit = "visual.proj" in sd
+    if not vit:
+        raise NotImplementedError("ResNet CLIP conversion handled by resnet converter")
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    vision_layers = len([k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
+    patch = sd["visual.conv1.weight"].shape[-1]
+    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    image_resolution = patch * grid
+    embed_dim = sd["text_projection"].shape[1]
+    context_length = sd["positional_embedding"].shape[0]
+    vocab_size = sd["token_embedding.weight"].shape[0]
+    transformer_width = sd["ln_final.weight"].shape[0]
+    transformer_layers = len(set(
+        k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")
+    ))
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        image_resolution=image_resolution,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=patch,
+        context_length=context_length,
+        vocab_size=vocab_size,
+        transformer_width=transformer_width,
+        transformer_heads=transformer_width // 64,
+        transformer_layers=transformer_layers,
+    )
+
+
+def convert_text_tower(sd: dict, dtype=np.float32) -> dict:
+    """Extract the text transformer (shared by ViT and RN checkpoints)."""
+    a = lambda k: np.asarray(sd[k], dtype)
+    layers = len(set(k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")))
+    return {
+        "text": {
+            "token_embedding": a("token_embedding.weight"),
+            "positional_embedding": a("positional_embedding"),
+            "blocks": _stack_blocks(sd, "transformer", layers),
+            "ln_final": {"weight": a("ln_final.weight"), "bias": a("ln_final.bias")},
+            "text_projection": a("text_projection"),
+        },
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+    }
+
+
+def _stack_blocks(sd: dict, prefix: str, layers: int) -> dict:
+    def g(i, suffix):
+        return np.asarray(sd[f"{prefix}.resblocks.{i}.{suffix}"])
+
+    def stack(suffix):
+        return np.stack([g(i, suffix) for i in range(layers)])
+
+    return {
+        "ln_1": {"weight": stack("ln_1.weight"), "bias": stack("ln_1.bias")},
+        "ln_2": {"weight": stack("ln_2.weight"), "bias": stack("ln_2.bias")},
+        "attn": {
+            "in_proj_weight": stack("attn.in_proj_weight"),
+            "in_proj_bias": stack("attn.in_proj_bias"),
+            "out_proj": {
+                "weight": stack("attn.out_proj.weight"),
+                "bias": stack("attn.out_proj.bias"),
+            },
+        },
+        "mlp": {
+            "c_fc": {"weight": stack("mlp.c_fc.weight"), "bias": stack("mlp.c_fc.bias")},
+            "c_proj": {"weight": stack("mlp.c_proj.weight"), "bias": stack("mlp.c_proj.bias")},
+        },
+    }
+
+
+def convert_vit_clip(sd: dict, cfg: Optional[CLIPConfig] = None, dtype=np.float32):
+    """torch state_dict → (params pytree, CLIPConfig)."""
+    cfg = cfg or infer_config(sd)
+    a = lambda k: np.asarray(sd[k], dtype)
+
+    params = {
+        "visual": {
+            "class_embedding": a("visual.class_embedding"),
+            "positional_embedding": a("visual.positional_embedding"),
+            "conv1": {"weight": a("visual.conv1.weight")},
+            "ln_pre": {"weight": a("visual.ln_pre.weight"), "bias": a("visual.ln_pre.bias")},
+            "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers),
+            "ln_post": {"weight": a("visual.ln_post.weight"), "bias": a("visual.ln_post.bias")},
+            "proj": a("visual.proj"),
+        },
+        "text": {
+            "token_embedding": a("token_embedding.weight"),
+            "positional_embedding": a("positional_embedding"),
+            "blocks": _stack_blocks(sd, "transformer", cfg.transformer_layers),
+            "ln_final": {"weight": a("ln_final.weight"), "bias": a("ln_final.bias")},
+            "text_projection": a("text_projection"),
+        },
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+    }
+
+    def cast(tree):
+        import jax.tree_util as jtu
+
+        return jtu.tree_map(lambda x: np.asarray(x, dtype), tree)
+
+    return cast(params), cfg

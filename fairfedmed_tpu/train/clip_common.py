@@ -1,0 +1,164 @@
+"""Shared CLIP model assembly for the method trainers.
+
+``load_clip_bundle`` plays the role of load_clip_to_cpu + clip.build_model
+(trainers/GLP_OT_SVLoRA.py:23-43, clip/model.py:633-670): resolve the backbone
+name to a checkpoint (``~/.cache/clip`` or DATASET.ROOT) and convert it to a
+pytree; fall back to random initialisation when no checkpoint exists (this
+offline environment cannot download the OpenAI weights).
+
+Tiny ``test-vit`` presets keep unit/e2e tests fast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import Policy, policy_from_prec
+from ..models import converter
+from ..models.clip_model import PRESETS, CLIPConfig, init_clip_params
+
+TEST_PRESETS = {
+    "test-vit": CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, transformer_width=32, transformer_heads=4,
+        transformer_layers=2,
+    ),
+    "test-vit-224": CLIPConfig(
+        embed_dim=64, image_resolution=224, vision_layers=2, vision_width=64,
+        vision_patch_size=32, transformer_width=64, transformer_heads=4,
+        transformer_layers=2,
+    ),
+}
+
+
+RN_TEXT_CONFIGS = {
+    # text towers paired with the ResNet visual encoders (clip/model.py:633-656)
+    "RN50": CLIPConfig(embed_dim=1024, transformer_width=512, transformer_heads=8,
+                       transformer_layers=12),
+    "RN101": CLIPConfig(embed_dim=512, transformer_width=512, transformer_heads=8,
+                        transformer_layers=12),
+    "test-rn": CLIPConfig(embed_dim=64, image_resolution=32, transformer_width=64,
+                          transformer_heads=4, transformer_layers=2),
+}
+
+
+@dataclasses.dataclass
+class CLIPBundle:
+    params: dict  # frozen backbone pytree (policy.param_dtype)
+    clip_cfg: CLIPConfig
+    policy: Policy
+    pretrained: bool
+    backbone_type: str = "vit"  # 'vit' | 'resnet'
+    rn_cfg: object = None       # ResNetConfig for resnet backbones
+    visual_bn: dict = None      # BN affine tree (goes into the TRAINABLE set)
+    visual_stats: dict = None   # BN running stats (mutable buffers)
+
+
+def _is_resnet(name: str) -> bool:
+    return name.startswith("RN") or name == "test-rn"
+
+
+def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
+    from ..models import resnet_clip
+
+    name = cfg.MODEL.BACKBONE.NAME
+    policy = policy_from_prec(prec)
+    seed_key = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
+
+    if _is_resnet(name):
+        rn_cfg = resnet_clip.RN_PRESETS[name]
+        clip_cfg = RN_TEXT_CONFIGS[name]
+        ckpt = converter.find_checkpoint(name, root=cfg.DATASET.ROOT) \
+            if (cfg.MODEL.BACKBONE.PRETRAINED and not name.startswith("test")) else None
+        if ckpt is not None:
+            print(f"Loading CLIP (backbone: {name}) from {ckpt}")
+            sd = converter.load_torch_state_dict(ckpt)
+            visual, bn, stats = resnet_clip.convert_resnet_visual(sd, rn_cfg)
+            text_params = converter.convert_text_tower(sd)
+            params = {"visual": visual, "text": text_params["text"],
+                      "logit_scale": text_params["logit_scale"]}
+            pretrained = True
+        else:
+            if not name.startswith("test"):
+                print(f"WARNING: no checkpoint found for {name}; using random init")
+            kv, kt = jax.random.split(seed_key)
+            visual, bn, stats = resnet_clip.init_modified_resnet(kv, rn_cfg)
+            text_full = init_clip_params(kt, clip_cfg)
+            params = {"visual": visual, "text": text_full["text"],
+                      "logit_scale": text_full["logit_scale"]}
+            pretrained = False
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, policy.param_dtype), params)
+        params["logit_scale"] = jnp.asarray(params["logit_scale"], jnp.float32)
+        # BN affine + stats stay fp32 (numerics)
+        bn = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), bn)
+        stats = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), stats)
+        return CLIPBundle(params=params, clip_cfg=clip_cfg, policy=policy,
+                          pretrained=pretrained, backbone_type="resnet",
+                          rn_cfg=rn_cfg, visual_bn=bn, visual_stats=stats)
+
+    if name in TEST_PRESETS:
+        clip_cfg = TEST_PRESETS[name]
+        params = init_clip_params(seed_key, clip_cfg)
+        pretrained = False
+    else:
+        ckpt = converter.find_checkpoint(name, root=cfg.DATASET.ROOT) if cfg.MODEL.BACKBONE.PRETRAINED else None
+        if ckpt is not None:
+            print(f"Loading CLIP (backbone: {name}) from {ckpt}")
+            sd = converter.load_torch_state_dict(ckpt)
+            params, clip_cfg = converter.convert_vit_clip(sd)
+            pretrained = True
+        else:
+            clip_cfg = PRESETS.get(name)
+            if clip_cfg is None:
+                raise ValueError(f"Unknown CLIP backbone: {name}")
+            print(f"WARNING: no checkpoint found for {name}; using random init "
+                  f"(place the OpenAI .pt under ~/.cache/clip to enable pretrained weights)")
+            params = init_clip_params(seed_key, clip_cfg)
+            pretrained = False
+
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, policy.param_dtype), params
+    )
+    # storage in param_dtype (the reference keeps fp16 storage with fp32
+    # LayerNorm compute); logit_scale is a scalar used in fp32 loss math.
+    params["logit_scale"] = jnp.asarray(params["logit_scale"], jnp.float32)
+    return CLIPBundle(params=params, clip_cfg=clip_cfg, policy=policy,
+                      pretrained=pretrained, backbone_type="vit")
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return nll.mean()
+
+
+def fairness_confidence_loss(logits, labels, attr, num_groups: int,
+                             differentiable: bool = False) -> jnp.ndarray:
+    """Confidence-gap fairness regulariser (GLP_OT_SVLoRA.py:908-948).
+
+    Per group g: c_g = 1 − mean_{i∈g} p_i[y_i]; loss = mean_g |c_g − mean(c)|.
+    The reference builds the group vector via ``torch.tensor(list(...))``
+    which DETACHES it — the regulariser contributes no gradient (quirk noted
+    in SURVEY §2.4).  ``differentiable=False`` reproduces that; True enables
+    the intended gradient.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    correct = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    one_hot = jax.nn.one_hot(attr, num_groups, dtype=jnp.float32)  # [B, G]
+    count = one_hot.sum(0)  # [G]
+    present = count > 0
+    conf = 1.0 - (one_hot * correct[:, None]).sum(0) / jnp.maximum(count, 1.0)
+    mean_conf = jnp.sum(jnp.where(present, conf, 0.0)) / jnp.maximum(present.sum(), 1)
+    gaps = jnp.where(present, jnp.abs(conf - mean_conf), 0.0)
+    loss = jnp.sum(gaps) / jnp.maximum(present.sum(), 1)
+    if not differentiable:
+        loss = jax.lax.stop_gradient(loss)
+    return loss
+
+
+def accuracy_from_logits(logits, labels) -> jnp.ndarray:
+    return (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean() * 100.0

@@ -84,7 +84,10 @@ def build_optimizer(optim_cfg) -> optax.GradientTransformation:
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning-rate hyperparameter in an opt state."""
-    opt_state.hyperparams["learning_rate"] = type(opt_state.hyperparams["learning_rate"])(lr)
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, getattr(cur, "dtype", jnp.float32))
     return opt_state
 
 

@@ -1,0 +1,562 @@
+"""GLP-OT and FairLoRA (GLP_OT_SVLoRA) method trainers.
+
+Capability match of trainers/GLP_OT.py:390-568 and
+trainers/GLP_OT_SVLoRA.py:575-1054 — CLIP with a multi-prompt learner, optional
+Sinkhorn/COT optimal-transport alignment between image patch tokens and
+prompts, and (SVLoRA variant) LoRA/SVLoRA/FairLoRA adapters on the image
+encoder MLPs with demographic-group singular values.
+
+TPU-native structure: ``build_model`` assembles frozen/trainable pytrees and
+compiles ONE train-step program (value_and_grad → optax update, with on-device
+preprocessing fused into the forward); the 3D-OCT slice split is a batch-axis
+reshape inside the same jitted function (SURVEY §5 long-context note).
+The transport plan is a ``lax.while_loop`` under stop_gradient; an invalid
+(NaN) plan zeroes the parameter update instead of aborting the step
+(GLP_OT_SVLoRA.py:738-743 returns None — same effect: no learning from that
+batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...adapters.lora import group_mix, init_lora
+from ...evaluation import metrics as eval_metrics
+from ...models.clip_model import l2_normalize, text_encode, vit_encode
+from ...models.prompt_learner import assemble_prompts, init_prompt_learner
+from ...ops.sinkhorn import entropic_cot, sinkhorn
+from ...utils.registry import TRAINER_REGISTRY
+from ..clip_common import (
+    accuracy_from_logits,
+    cross_entropy,
+    fairness_confidence_loss,
+    load_clip_bundle,
+)
+from ..engine import TrainerX
+from ..optim import build_lr_scheduler, build_optimizer, set_learning_rate
+
+MEDICAL_DATASETS = ("FairFedMed", "FedChexMimic", "WangGrant")
+MODALITY_3D = ("oct_bscans", "oct_bscans_3d", "mac_onh", "onh_mac")
+
+# per-dataset demographic group tables (GLP_OT_SVLoRA.py:775-790)
+GROUP_TABLES = {
+    "FairFedMed": {
+        "race": ["Asian", "Black", "White"],
+        "language": ["English", "Spanish", "Others"],
+        "ethnicity": ["Non-hispanic", "Hispanic"],
+        "gender": ["Male", "Female"],
+    },
+    "FedChexMimic": {
+        "race": ["White", "Asian", "Black"],
+        "gender": ["Male", "Female"],
+        "age": ["0-60", "60+"],
+    },
+}
+
+
+def _redictify_like(template, rebuilt):
+    """Map an unflatten_paths dict (string int keys) back onto the template's
+    list/dict structure."""
+    if isinstance(template, list):
+        return [_redictify_like(template[i], rebuilt[str(i)]) for i in range(len(template))]
+    if isinstance(template, dict):
+        return {k: _redictify_like(v, rebuilt[k]) for k, v in template.items()}
+    return rebuilt
+
+
+class GLPOTBase(TrainerX):
+    """Shared machinery; GLP_OT sets use_lora=False, GLP_OT_SVLoRA True."""
+
+    use_lora = False
+
+    def check_cfg(self, cfg):
+        assert cfg.TRAINER.GLP_OT.PREC in ["fp16", "fp32", "amp"]
+
+    def retrieval_attributes(self, attr_name):
+        table = GROUP_TABLES.get(self.cfg.DATASET.NAME)
+        if table is None:
+            raise NotImplementedError(self.cfg.DATASET.NAME)
+        return table[attr_name]
+
+    # ------------------------------------------------------------- build
+    def build_model(self):
+        cfg = self.cfg
+        t = cfg.TRAINER.GLP_OT
+        bundle = load_clip_bundle(cfg, t.PREC)
+        self.bundle = bundle
+        self.policy = bundle.policy
+        classnames = list(self.dm.dataset.classnames)
+        self.n_cls = len(classnames)
+        self.N = t.N
+
+        clip_res = bundle.clip_cfg.image_resolution
+        cfg_size = cfg.INPUT.SIZE[0] if not isinstance(cfg.INPUT.SIZE, str) else 224
+        assert cfg_size == clip_res, f"cfg_imsize ({cfg_size}) must equal to clip_imsize ({clip_res})"
+
+        rng = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
+        k_pl, k_lora, k_proj = jax.random.split(rng, 3)
+
+        print("Building custom CLIP")
+        pl_params, self.prompt_state = init_prompt_learner(
+            k_pl, classnames, bundle.params["text"]["token_embedding"].astype(jnp.float32),
+            bundle.clip_cfg, n_ctx=t.N_CTX, n_prompts=t.N,
+            ctx_init=t.CTX_INIT, csc=t.CSC, class_token_position=t.CLASS_TOKEN_POSITION,
+        )
+
+        trainable = {"prompt_learner": pl_params}
+
+        # demographic groups
+        self.disable_attr = bool(cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR) if self.use_lora else True
+        if self.use_lora and not cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR \
+                and cfg.DATASET.NAME in GROUP_TABLES:
+            self.num_groups = len(self.retrieval_attributes(cfg.DATASET.ATTRIBUTE_TYPE))
+            self.disable_attr = False
+        else:
+            self.num_groups = 1
+
+        # LoRA adapters (apply_lora_to_model, GLP_OT_SVLoRA.py:503-573):
+        # ViT — every resblock's mlp.c_fc / mlp.c_proj;
+        # RN  — every bottleneck's 1×1 convs (FairLoRA) + attnpool projections
+        #       (plain LoRA), with all BatchNorms unfrozen.
+        self.backbone_type = bundle.backbone_type
+        self.stats = bundle.visual_stats if bundle.backbone_type == "resnet" else {}
+        if bundle.backbone_type == "resnet":
+            trainable["visual_bn"] = bundle.visual_bn
+
+        self.lora_scaling = 0.0
+        if self.use_lora and cfg.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER:
+            lc = cfg.TRAINER.GLP_OT_LORA
+            self.lora_scaling = lc.ALPHA / lc.RANK
+            if bundle.backbone_type == "vit":
+                vw = bundle.clip_cfg.vision_width
+                L = bundle.clip_cfg.vision_layers
+                keys = jax.random.split(k_lora, 2 * L)
+                def stacked(din, dout, key_offset):
+                    per_layer = [
+                        init_lora(keys[key_offset * L + i], din, dout, lc.RANK,
+                                  lora_type=lc.TYPE, num_groups=self.num_groups,
+                                  global_s=lc.GLOBAL_S)
+                        for i in range(L)
+                    ]
+                    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+                trainable["image_encoder_lora"] = {
+                    "c_fc": stacked(vw, 4 * vw, 0),
+                    "c_proj": stacked(4 * vw, vw, 1),
+                }
+            else:  # resnet: per-bottleneck 1x1 conv FairLoRA
+                rn = bundle.rn_cfg
+                keys = iter(jax.random.split(k_lora, 4 * sum(rn.layers) + 8))
+                lora_tree = {}
+                inplanes = rn.width
+                for li, nblocks in enumerate(rn.layers):
+                    planes = rn.width * (2 ** li)
+                    blocks = []
+                    for bi in range(nblocks):
+                        blocks.append({
+                            "conv1": init_lora(next(keys), inplanes, planes, lc.RANK,
+                                               lora_type=lc.TYPE, num_groups=self.num_groups,
+                                               global_s=lc.GLOBAL_S),
+                            "conv3": init_lora(next(keys), planes, planes * 4, lc.RANK,
+                                               lora_type=lc.TYPE, num_groups=self.num_groups,
+                                               global_s=lc.GLOBAL_S),
+                        })
+                        inplanes = planes * 4
+                    lora_tree[f"layer{li + 1}"] = blocks
+                trainable["image_encoder_lora"] = lora_tree
+                ed = rn.embed_dim
+                trainable["attnpool_lora"] = {
+                    name: init_lora(next(keys), ed,
+                                    rn.output_dim if name == "c_proj" else ed,
+                                    lc.RANK, lora_type="LoRA")
+                    for name in ("q_proj", "k_proj", "v_proj", "c_proj")
+                }
+
+        # 3D slice projector (GLP_OT_SVLoRA.py:584-595)
+        self.is_3d_input = cfg.DATASET.MODALITY_TYPE in MODALITY_3D
+        if self.is_3d_input:
+            d = cfg.DATASET.DIM_PER_3D_SLICE
+            std = d ** -0.5
+            trainable["proj_per_3d_slice"] = {
+                "weight": (jax.random.normal(k_proj, (3, d, 5, 5)) * std).astype(jnp.float32),
+                "bias": jnp.zeros((3,), jnp.float32),
+            }
+            self.dim_per_3d_slice = d
+
+        self.trainable = trainable
+        self.frozen = bundle.params
+
+        self.tx = build_optimizer(cfg.OPTIM)
+        self.opt_state = self.tx.init(self.trainable)
+        self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+
+        self._compile_steps()
+
+    # ------------------------------------------------------------- forward
+    def _preprocess(self, trainable, image):
+        """On-device preprocessing fused into the jitted step
+        (CustomCLIP.forward head, GLP_OT_SVLoRA.py:677-693)."""
+        cfg = self.cfg
+        mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32).reshape(1, -1, 1, 1)
+        std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32).reshape(1, -1, 1, 1)
+        x = image.astype(jnp.float32)
+        if cfg.DATASET.NAME in MEDICAL_DATASETS:
+            x = x / 255.0
+            if self.is_3d_input:
+                b, c, h, w = x.shape
+                x = x.reshape(-1, self.dim_per_3d_slice, h, w)
+                p = trainable["proj_per_3d_slice"]
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.policy.compute_dtype),
+                    p["weight"].astype(self.policy.compute_dtype),
+                    window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                ).astype(jnp.float32) + p["bias"].reshape(1, -1, 1, 1)
+                mn = x.min(axis=(1, 2, 3), keepdims=True)
+                mx = x.max(axis=(1, 2, 3), keepdims=True)
+                x = (x - mn) / (mx - mn + 1e-5)
+            x = (x - mean) / std
+        elif cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
+            from ...data.datasets.cifar import CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD
+            m, s = (CIFAR10_MEAN, CIFAR10_STD) if cfg.DATASET.NAME == "Cifar10" else (CIFAR100_MEAN, CIFAR100_STD)
+            # loader yields uint8 HWC; normalize then bilinear-resize on device
+            x = x / 255.0
+            x = (x - jnp.asarray(m)) / jnp.asarray(s)
+            x = x.transpose(0, 3, 1, 2)
+            size = cfg.INPUT.SIZE[0] if not isinstance(cfg.INPUT.SIZE, str) else 224
+            x = jax.image.resize(x, (x.shape[0], x.shape[1], size, size), method="bilinear")
+        return x
+
+    def _forward(self, trainable, frozen, stats, image, attr, train):
+        """Full CustomCLIP forward (GLP_OT_SVLoRA.py:677-757): returns
+        (logits [b, n_cls], OT-validity flag, new BN stats)."""
+        cfg_t = self.cfg.TRAINER.GLP_OT
+        policy = self.policy
+        x = self._preprocess(trainable, image)
+
+        lora = trainable.get("image_encoder_lora")
+        attr_mix = None
+        if lora is not None:
+            attr_mix = group_mix(attr, self.num_groups, x.shape[0] if attr is None else attr.shape[0], jnp.float32)
+
+        if self.backbone_type == "resnet":
+            from ...models.resnet_clip import resnet_encode
+
+            tokens, new_stats = resnet_encode(
+                frozen["visual"], trainable["visual_bn"], stats, x,
+                self.bundle.rn_cfg, policy, train=train, return_tokens=True,
+                lora=lora, attnpool_lora=trainable.get("attnpool_lora"),
+                attr_mix=attr_mix, lora_scaling=self.lora_scaling,
+            )
+        else:
+            tokens = vit_encode(
+                frozen["visual"], x, self.bundle.clip_cfg, policy,
+                return_tokens=True, lora=lora, attr_mix=attr_mix,
+                lora_scaling=self.lora_scaling,
+            )  # [B', 1+M, d]
+            new_stats = stats
+        image_feats = l2_normalize(tokens[:, 1:])          # [B', M, d]
+        Bp, M, d = image_feats.shape
+
+        ctx = trainable["prompt_learner"]["ctx"].astype(policy.compute_dtype)
+        prompts = assemble_prompts(ctx, self.prompt_state)
+        text_feats = text_encode(frozen, prompts, self.prompt_state.eot_indices,
+                                 self.bundle.clip_cfg, policy)
+        text_feats = l2_normalize(text_feats.reshape(self.N, self.n_cls, d))
+
+        # sim: [B', M, N, n_cls] → [B'·n_cls, M, N]
+        sim = jnp.einsum("bmd,ncd->bmnc", image_feats, text_feats.astype(image_feats.dtype),
+                         preferred_element_type=jnp.float32)
+        sim = sim.transpose(0, 3, 1, 2).reshape(Bp * self.n_cls, M, self.N)
+        wdist = 1.0 - sim
+
+        valid = jnp.bool_(True)
+        if cfg_t.OT == "Sinkhorn":
+            xx = jnp.full((sim.shape[0], M), 1.0 / M, jnp.float32)
+            yy = jnp.full((sim.shape[0], self.N), 1.0 / self.N, jnp.float32)
+            KK = jnp.exp(-wdist / cfg_t.EPS)
+            T, valid = sinkhorn(KK, xx, yy, thresh=cfg_t.THRESH, max_iter=cfg_t.MAX_ITER)
+            sim_op = (T * sim).sum((1, 2))
+        elif cfg_t.OT == "COT":
+            xx = jnp.full((sim.shape[0], M), 1.0 / M, jnp.float32)
+            top_percent = min(1.0, cfg_t.TOP_PERCENT)
+            yy = jnp.full((sim.shape[0], self.N), 1.0 / self.N, jnp.float32) * top_percent
+            KK = jnp.exp(-wdist / cfg_t.EPS)
+            T, valid = entropic_cot(KK, xx, yy, max_iter=cfg_t.MAX_ITER, thresh=cfg_t.THRESH)
+            sim_op = (T * sim).sum((1, 2))
+        elif cfg_t.OT == "None":
+            sim_op = sim.mean((1, 2))
+        else:
+            raise NotImplementedError(cfg_t.OT)
+
+        # [B'·n_cls] → [b, slices, n_cls] → mean over slices
+        # (B' = b·num_slices for 3D volumes, B' = b otherwise;
+        #  GLP_OT_SVLoRA.py:753-754)
+        sim_op = sim_op.reshape(image.shape[0], -1, self.n_cls).mean(1)
+        logit_scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+        logits = logit_scale * sim_op.astype(jnp.float32)
+        return logits, valid, new_stats
+
+    # ------------------------------------------------------------- steps
+    def _compile_steps(self):
+        cfg = self.cfg
+        lam = cfg.TRAINER.LAMBDA_FAIRNESS if self.use_lora else 0.0
+        has_attr = not self.disable_attr
+
+        def loss_fn(trainable, frozen, stats, image, label, attr, ctx_global, mu):
+            logits, valid, new_stats = self._forward(trainable, frozen, stats, image, attr, train=True)
+            cls_loss = cross_entropy(logits, label)
+            loss = cls_loss
+            if has_attr and lam != 0.0:
+                loss = loss + lam * fairness_confidence_loss(
+                    logits, label, attr, self.num_groups, differentiable=False)
+            if ctx_global is not None:
+                # FedProx proximal term (promptfl.py:290-293)
+                diff = trainable["prompt_learner"]["ctx"].astype(jnp.float32) - ctx_global
+                loss = loss + (mu / 2.0) * jnp.sum(diff * diff)
+            return loss, (logits, valid, new_stats)
+
+        def train_step(trainable, opt_state, stats, frozen, image, label, attr, ctx_global, mu):
+            (loss, (logits, valid, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, stats, image, label, attr, ctx_global, mu)
+            scale = valid.astype(jnp.float32)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            metrics = {
+                "loss": jnp.where(valid, loss, jnp.nan),
+                "acc": accuracy_from_logits(logits, label),
+                "probs": jax.nn.softmax(logits, -1),
+            }
+            return trainable, opt_state, new_stats, metrics
+
+        def infer(trainable, frozen, stats, image, attr):
+            logits, _, _ = self._forward(trainable, frozen, stats, image, attr, train=False)
+            return logits
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._infer = jax.jit(infer)
+
+    # ------------------------------------------------------------- hot loop
+    def forward_backward(self, batch):
+        if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
+            image, label, attrs, tgt_attr = self.parse_batch_train(batch)
+        else:
+            image, label = self.parse_batch_train(batch)
+            tgt_attr = None
+
+        ctx_global = getattr(self, "_fedprox_ctx_global", None) if getattr(self, "fedprox", False) else None
+        mu = getattr(self, "mu", 0.5)
+
+        self.trainable, self.opt_state, self.stats, metrics = self._train_step(
+            self.trainable, self.opt_state, self.stats, self.frozen,
+            image, label, tgt_attr, ctx_global, jnp.float32(mu))
+
+        loss = float(metrics["loss"])
+        self.detect_anomaly(loss) if np.isfinite(loss) else None
+        loss_summary = {"loss": loss, "acc": float(metrics["acc"])}
+
+        if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
+            probs = np.asarray(metrics["probs"], np.float32)
+            label_h = np.asarray(label)
+            if len(set(label_h.tolist())) == 1:
+                loss_summary["auc"] = 1
+            else:
+                loss_summary["auc"] = eval_metrics.compute_auc(probs, label_h,
+                                                               num_classes=self.n_cls)
+
+        if (self.batch_idx + 1) == self.num_batches:
+            self.update_lr()
+            self.opt_state = set_learning_rate(self.opt_state, self.get_current_lr())
+        return loss_summary
+
+    def parse_batch_train(self, batch):
+        image = jnp.asarray(batch["img"])
+        label = jnp.asarray(batch["label"])
+        if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
+            attrs = jnp.asarray(batch["attrs"])  # [B, A]
+            if self.disable_attr:
+                tgt_attr = None
+            else:
+                idx = list(self.cfg.DATASET.ATTRIBUTES).index(self.cfg.DATASET.ATTRIBUTE_TYPE)
+                tgt_attr = attrs[:, idx]
+            return image, label, attrs, tgt_attr
+        return image, label
+
+    def parse_batch_test(self, batch):
+        image = jnp.asarray(batch["img"])
+        label = batch["label"]
+        if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
+            attrs = batch["attrs"]
+            if self.disable_attr:
+                tgt_attr = None
+            else:
+                idx = list(self.cfg.DATASET.ATTRIBUTES).index(self.cfg.DATASET.ATTRIBUTE_TYPE)
+                tgt_attr = jnp.asarray(attrs[:, idx])
+            return image, label, attrs, tgt_attr
+        return image, label, None, None
+
+    def model_inference(self, inp, attr=None):
+        return self._infer(self.trainable, self.frozen, self.stats, inp, attr)
+
+    # ------------------------------------------------------------- weights
+    def state_dict(self):
+        """Flat numpy dict with reference-style key names.
+
+        LoRA leaves are UNSTACKED to per-layer keys
+        ``image_encoder.transformer.resblocks.{i}.mlp.{c_fc,c_proj}.{lora_*}.weight``
+        so lora_S keeps shape [num_groups, rank] — the group-weighted FedAvg
+        predicate (`'lora_S' in key and shape[0]==n_groups`, fed_utils.py:29)
+        applies verbatim.
+        """
+        out = {"prompt_learner.ctx": np.asarray(self.trainable["prompt_learner"]["ctx"], np.float32)}
+        if "proj_per_3d_slice" in self.trainable:
+            p = self.trainable["proj_per_3d_slice"]
+            out["proj_per_3d_slice.weight"] = np.asarray(p["weight"], np.float32)
+            out["proj_per_3d_slice.bias"] = np.asarray(p["bias"], np.float32)
+        lora = self.trainable.get("image_encoder_lora")
+        if lora is not None and self.backbone_type == "vit":
+            for part in ("c_fc", "c_proj"):
+                for leaf, arr in lora[part].items():
+                    arr = np.asarray(arr, np.float32)
+                    for i in range(arr.shape[0]):
+                        key = f"image_encoder.transformer.resblocks.{i}.mlp.{part}.{leaf}.weight"
+                        out[key] = arr[i]
+        elif lora is not None:  # resnet
+            for lname, blocks in lora.items():
+                for bi, block in enumerate(blocks):
+                    for conv, leaves in block.items():
+                        for leaf, arr in leaves.items():
+                            out[f"image_encoder.{lname}.{bi}.{conv}.{leaf}.weight"] = \
+                                np.asarray(arr, np.float32)
+        ap_lora = self.trainable.get("attnpool_lora")
+        if ap_lora is not None:
+            for name, leaves in ap_lora.items():
+                for leaf, arr in leaves.items():
+                    out[f"image_encoder.attnpool.{name}.{leaf}.weight"] = np.asarray(arr, np.float32)
+        if self.backbone_type == "resnet":
+            # BN affine (trainable) + running stats (buffers) both travel in
+            # the federated state, as in save_model_with_grad (trainer.py:177-186)
+            from ...core.pytree import flatten_paths
+
+            for k, v in flatten_paths(self.trainable["visual_bn"]).items():
+                out[f"image_encoder.{k}"] = np.asarray(v, np.float32)
+            for k, v in flatten_paths(self.stats).items():
+                suffix = "running_mean" if k.endswith(".mean") else "running_var"
+                out[f"image_encoder.{k.rsplit('.', 1)[0]}.{suffix}"] = np.asarray(v, np.float32)
+        return out
+
+    def load_state_dict(self, state, strict=False):
+        t = jax.tree_util.tree_map(lambda x: x, self.trainable)  # shallow copy
+        if "prompt_learner.ctx" in state:
+            t["prompt_learner"]["ctx"] = jnp.asarray(state["prompt_learner.ctx"],
+                                                     t["prompt_learner"]["ctx"].dtype)
+        if "proj_per_3d_slice" in t and "proj_per_3d_slice.weight" in state:
+            t["proj_per_3d_slice"] = {
+                "weight": jnp.asarray(state["proj_per_3d_slice.weight"], jnp.float32),
+                "bias": jnp.asarray(state["proj_per_3d_slice.bias"], jnp.float32),
+            }
+        lora = t.get("image_encoder_lora")
+        if lora is not None and self.backbone_type == "vit":
+            L = self.bundle.clip_cfg.vision_layers
+            new_lora = {}
+            for part in ("c_fc", "c_proj"):
+                new_part = {}
+                for leaf, arr in lora[part].items():
+                    keys = [f"image_encoder.transformer.resblocks.{i}.mlp.{part}.{leaf}.weight"
+                            for i in range(L)]
+                    if all(k in state for k in keys):
+                        new_part[leaf] = jnp.asarray(np.stack([state[k] for k in keys]), arr.dtype)
+                    else:
+                        if strict:
+                            missing = [k for k in keys if k not in state]
+                            raise KeyError(f"Missing keys: {missing[:3]}...")
+                        new_part[leaf] = arr
+                new_lora[part] = new_part
+            t["image_encoder_lora"] = new_lora
+        elif lora is not None:  # resnet
+            new_lora = {}
+            for lname, blocks in lora.items():
+                new_blocks = []
+                for bi, block in enumerate(blocks):
+                    nb = {}
+                    for conv, leaves in block.items():
+                        nb[conv] = {}
+                        for leaf, arr in leaves.items():
+                            key = f"image_encoder.{lname}.{bi}.{conv}.{leaf}.weight"
+                            nb[conv][leaf] = jnp.asarray(state[key], arr.dtype) if key in state else arr
+                    new_blocks.append(nb)
+                new_lora[lname] = new_blocks
+            t["image_encoder_lora"] = new_lora
+        ap_lora = t.get("attnpool_lora")
+        if ap_lora is not None:
+            new_ap = {}
+            for name, leaves in ap_lora.items():
+                new_ap[name] = {}
+                for leaf, arr in leaves.items():
+                    key = f"image_encoder.attnpool.{name}.{leaf}.weight"
+                    new_ap[name][leaf] = jnp.asarray(state[key], arr.dtype) if key in state else arr
+            t["attnpool_lora"] = new_ap
+        if self.backbone_type == "resnet":
+            from ...core.pytree import flatten_paths, unflatten_paths
+
+            bn_flat = flatten_paths(t["visual_bn"])
+            for k in list(bn_flat):
+                sk = f"image_encoder.{k}"
+                if sk in state:
+                    bn_flat[k] = jnp.asarray(state[sk], jnp.float32)
+            new_bn = unflatten_paths(bn_flat)
+            stats_flat = flatten_paths(self.stats)
+            for k in list(stats_flat):
+                suffix = "running_mean" if k.endswith(".mean") else "running_var"
+                sk = f"image_encoder.{k.rsplit('.', 1)[0]}.{suffix}"
+                if sk in state:
+                    stats_flat[k] = jnp.asarray(state[sk], jnp.float32)
+            new_stats = unflatten_paths(stats_flat)
+            # unflatten rebuilds dicts; restore list-of-blocks structure
+            t["visual_bn"] = _redictify_like(t["visual_bn"], new_bn)
+            self.stats = _redictify_like(self.stats, new_stats)
+        self.trainable = t
+
+    def set_fedprox_global(self, state):
+        self._fedprox_ctx_global = jnp.asarray(state["prompt_learner.ctx"], jnp.float32)
+
+    def named_parameters(self):
+        """All params (frozen + trainable) with reference-ish dotted names —
+        used by the CLI's count_parameters tables (utils/fed_utils.py:103)."""
+        from ...core.pytree import flatten_paths
+
+        out = {}
+        for k, v in flatten_paths({"image_encoder": self.frozen["visual"],
+                                   "text_encoder": self.frozen["text"]}).items():
+            out[k] = v
+        out.update(self.state_dict())
+        return out
+
+    def optimizer_state_dict(self):
+        return jax.tree_util.tree_map(np.asarray, self.opt_state)
+
+    def load_optimizer_state_dict(self, state):
+        self.opt_state = jax.tree_util.tree_map(
+            lambda cur, new: jnp.asarray(new, cur.dtype) if hasattr(cur, "dtype") else new,
+            self.opt_state, state)
+
+
+@TRAINER_REGISTRY.register()
+class GLP_OT(GLPOTBase):
+    """Prompt-only GLP-OT (trainers/GLP_OT.py:390-568)."""
+
+    use_lora = False
+
+
+@TRAINER_REGISTRY.register()
+class GLP_OT_SVLoRA(GLPOTBase):
+    """FairLoRA: GLP-OT + grouped low-rank adapters
+    (trainers/GLP_OT_SVLoRA.py:767-1054)."""
+
+    use_lora = True

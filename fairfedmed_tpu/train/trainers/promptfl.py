@@ -1,0 +1,257 @@
+"""PromptFL, zero-shot CLIP, and Baseline method trainers.
+
+Capability match of trainers/promptfl.py:228-372 and trainers/clip.py:76-231:
+
+* ``PromptFL`` — learnable single prompt bank, cosine logits over pooled CLIP
+  features, CE loss with optional FedProx proximal term.
+* ``CLIP`` — frozen zero-shot baseline: prompts initialised from
+  "a photo of a" and never trained; eval-only.
+* ``Baseline`` — plain supervised backbone+linear-head (SimpleNet,
+  Dassl/dassl/engine/trainer.py:48-105) on a small conv net.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...models.clip_model import l2_normalize, text_encode, vit_encode
+from ...models.prompt_learner import assemble_prompts, init_prompt_learner
+from ...utils.registry import TRAINER_REGISTRY
+from ..clip_common import accuracy_from_logits, cross_entropy, load_clip_bundle
+from ..engine import TrainerX
+from ..optim import build_lr_scheduler, build_optimizer, set_learning_rate
+
+
+class _CosineCLIPTrainer(TrainerX):
+    """Shared: pooled-feature cosine logits with a learnable prompt."""
+
+    prec_node = "PROMPTFL"
+    trainable_prompt = True
+
+    def check_cfg(self, cfg):
+        assert cfg.TRAINER[self.prec_node].PREC in ["fp16", "fp32", "amp"]
+
+    def build_model(self):
+        cfg = self.cfg
+        node = cfg.TRAINER[self.prec_node]
+        bundle = load_clip_bundle(cfg, node.PREC)
+        self.bundle = bundle
+        self.policy = bundle.policy
+        classnames = list(self.dm.dataset.classnames)
+        self.n_cls = len(classnames)
+
+        rng = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
+        ctx_init = node.CTX_INIT if node.CTX_INIT else (
+            "a photo of a" if not self.trainable_prompt else False)
+        pl_params, self.prompt_state = init_prompt_learner(
+            rng, classnames, bundle.params["text"]["token_embedding"].astype(jnp.float32),
+            bundle.clip_cfg, n_ctx=node.N_CTX, n_prompts=1,
+            ctx_init=ctx_init, csc=node.CSC,
+            class_token_position=node.CLASS_TOKEN_POSITION,
+        )
+        self.trainable = {"prompt_learner": pl_params}
+        self.frozen = bundle.params
+
+        self.tx = build_optimizer(cfg.OPTIM)
+        self.opt_state = self.tx.init(self.trainable)
+        self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+        self._compile()
+
+    def _device_preprocess(self, image):
+        cfg = self.cfg
+        x = image.astype(jnp.float32)
+        if cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
+            from ...data.datasets.cifar import CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD
+            m, s = (CIFAR10_MEAN, CIFAR10_STD) if cfg.DATASET.NAME == "Cifar10" else (CIFAR100_MEAN, CIFAR100_STD)
+            x = x / 255.0
+            x = (x - jnp.asarray(m)) / jnp.asarray(s)
+            x = x.transpose(0, 3, 1, 2)
+            size = cfg.INPUT.SIZE[0] if not isinstance(cfg.INPUT.SIZE, str) else 224
+            x = jax.image.resize(x, (x.shape[0], x.shape[1], size, size), method="bilinear")
+        return x
+
+    def _forward(self, trainable, frozen, image):
+        x = self._device_preprocess(image)
+        pooled = vit_encode(frozen["visual"], x, self.bundle.clip_cfg, self.policy)
+        pooled = l2_normalize(pooled)
+        ctx = trainable["prompt_learner"]["ctx"].astype(self.policy.compute_dtype)
+        prompts = assemble_prompts(ctx, self.prompt_state)
+        text = text_encode(frozen, prompts, self.prompt_state.eot_indices,
+                           self.bundle.clip_cfg, self.policy)
+        text = l2_normalize(text)
+        logit_scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+        return logit_scale * (pooled @ text.T).astype(jnp.float32)
+
+    def _compile(self):
+        def loss_fn(trainable, frozen, image, label, ctx_global, mu):
+            logits = self._forward(trainable, frozen, image)
+            loss = cross_entropy(logits, label)
+            if ctx_global is not None:
+                diff = trainable["prompt_learner"]["ctx"].astype(jnp.float32) - ctx_global
+                loss = loss + (mu / 2.0) * jnp.sum(diff * diff)
+            return loss, logits
+
+        def train_step(trainable, opt_state, frozen, image, label, ctx_global, mu):
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, image, label, ctx_global, mu)
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, {
+                "loss": loss, "acc": accuracy_from_logits(logits, label)}
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._infer = jax.jit(lambda t, f, img: self._forward(t, f, img))
+
+    def forward_backward(self, batch):
+        image, label = self.parse_batch_train(batch)
+        ctx_global = getattr(self, "_fedprox_ctx_global", None) if getattr(self, "fedprox", False) else None
+        mu = getattr(self, "mu", 0.5)
+        self.trainable, self.opt_state, metrics = self._train_step(
+            self.trainable, self.opt_state, self.frozen, image, label,
+            ctx_global, jnp.float32(mu))
+        loss = float(metrics["loss"])
+        self.detect_anomaly(loss)
+        if (self.batch_idx + 1) == self.num_batches:
+            self.update_lr()
+            self.opt_state = set_learning_rate(self.opt_state, self.get_current_lr())
+        return {"loss": loss, "acc": float(metrics["acc"])}
+
+    def parse_batch_train(self, batch):
+        return jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+
+    def model_inference(self, inp, attr=None):
+        return self._infer(self.trainable, self.frozen, inp)
+
+    def set_fedprox_global(self, state):
+        self._fedprox_ctx_global = jnp.asarray(state["prompt_learner.ctx"], jnp.float32)
+
+    def state_dict(self):
+        return {"prompt_learner.ctx": np.asarray(self.trainable["prompt_learner"]["ctx"], np.float32)}
+
+    def load_state_dict(self, state, strict=False):
+        if "prompt_learner.ctx" in state:
+            self.trainable["prompt_learner"]["ctx"] = jnp.asarray(
+                state["prompt_learner.ctx"], self.trainable["prompt_learner"]["ctx"].dtype)
+
+    def named_parameters(self):
+        from ...core.pytree import flatten_paths
+
+        out = dict(flatten_paths({"image_encoder": self.frozen["visual"],
+                                  "text_encoder": self.frozen["text"]}))
+        out.update(self.state_dict())
+        return out
+
+    def optimizer_state_dict(self):
+        return jax.tree_util.tree_map(np.asarray, self.opt_state)
+
+    def load_optimizer_state_dict(self, state):
+        self.opt_state = jax.tree_util.tree_map(
+            lambda cur, new: jnp.asarray(new, cur.dtype) if hasattr(cur, "dtype") else new,
+            self.opt_state, state)
+
+
+@TRAINER_REGISTRY.register()
+class PromptFL(_CosineCLIPTrainer):
+    """Prompt-only federated learning (trainers/promptfl.py:228-345)."""
+
+
+@TRAINER_REGISTRY.register()
+class CLIP(_CosineCLIPTrainer):
+    """Zero-shot CLIP baseline, eval-only (trainers/clip.py:76-231)."""
+
+    trainable_prompt = False
+
+    def forward_backward(self, batch):  # frozen model: nothing to train
+        image, label = self.parse_batch_train(batch)
+        logits = self._infer(self.trainable, self.frozen, image)
+        return {"loss": 0.0, "acc": float(accuracy_from_logits(logits, label))}
+
+
+@TRAINER_REGISTRY.register()
+class Baseline(TrainerX):
+    """Supervised backbone+head baseline (trainers/promptfl.py:348-372 +
+    SimpleNet).  Uses a compact conv backbone suitable for CIFAR-scale inputs."""
+
+    def build_model(self):
+        cfg = self.cfg
+        self.n_cls = self.dm.num_classes
+        rng = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        w = 64
+
+        def conv_init(key, cout, cin, k):
+            fan_in = cin * k * k
+            return jax.random.normal(key, (cout, cin, k, k)) * (2.0 / fan_in) ** 0.5
+
+        self.trainable = {
+            "backbone": {
+                "conv1": conv_init(k1, w, 3, 3),
+                "conv2": conv_init(k2, 2 * w, w, 3),
+                "conv3": conv_init(k3, 4 * w, 2 * w, 3),
+            },
+            "classifier": {
+                "weight": jax.random.normal(k4, (self.n_cls, 4 * w)) * 0.01,
+                "bias": jnp.zeros((self.n_cls,)),
+            },
+        }
+        self.frozen = {}
+        self.tx = build_optimizer(cfg.OPTIM)
+        self.opt_state = self.tx.init(self.trainable)
+        self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+
+        def forward(t, image):
+            x = image.astype(jnp.float32)
+            if x.ndim == 4 and x.shape[-1] in (1, 3):
+                x = x.transpose(0, 3, 1, 2) / 255.0
+            for name in ("conv1", "conv2", "conv3"):
+                x = jax.lax.conv_general_dilated(
+                    x, t["backbone"][name], window_strides=(2, 2), padding="SAME",
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                x = jax.nn.relu(x)
+            x = x.mean((2, 3))
+            return x @ t["classifier"]["weight"].T + t["classifier"]["bias"]
+
+        def train_step(t, opt_state, image, label):
+            def loss_fn(t):
+                logits = forward(t, image)
+                return cross_entropy(logits, label), logits
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(t)
+            updates, opt_state = self.tx.update(grads, opt_state, t)
+            t = optax.apply_updates(t, updates)
+            return t, opt_state, {"loss": loss, "acc": accuracy_from_logits(logits, label)}
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._infer = jax.jit(forward)
+
+    def forward_backward(self, batch):
+        image, label = jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+        self.trainable, self.opt_state, m = self._train_step(
+            self.trainable, self.opt_state, image, label)
+        loss = float(m["loss"])
+        self.detect_anomaly(loss)
+        if (self.batch_idx + 1) == self.num_batches:
+            self.update_lr()
+            self.opt_state = set_learning_rate(self.opt_state, self.get_current_lr())
+        return {"loss": loss, "acc": float(m["acc"])}
+
+    def model_inference(self, inp, attr=None):
+        return self._infer(self.trainable, jnp.asarray(inp))
+
+    def state_dict(self):
+        from ...core.pytree import flatten_paths
+
+        return {k: np.asarray(v, np.float32) for k, v in flatten_paths(self.trainable).items()}
+
+    def load_state_dict(self, state, strict=False):
+        from ...core.pytree import unflatten_paths
+
+        cur = self.trainable
+        new = unflatten_paths({k: v for k, v in state.items()})
+        self.trainable = jax.tree_util.tree_map(
+            lambda c, n: jnp.asarray(n, c.dtype), cur, new)
+
+    def named_parameters(self):
+        return self.state_dict()

@@ -1,0 +1,65 @@
+"""Synthetic dataset fixtures replicating the reference on-disk layouts
+(README.md:54-93 for FairFedMed; standard CIFAR pickle batches)."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+
+
+def make_fairfedmed_fixture(root: str, n_sites: int = 2, n_train: int = 12,
+                            n_test: int = 8, size: int = 224, seed: int = 0,
+                            oct_depth: int = 128, oct_hw: int = 32,
+                            attributes=("gender", "race", "ethnicity", "language", "maritalstatus")):
+    """Write NPZ samples + per-site meta CSVs under root/fairfedmed/."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "fairfedmed")
+    all_dir = os.path.join(base, "all")
+    os.makedirs(all_dir, exist_ok=True)
+    n_groups = {"gender": 2, "race": 3, "ethnicity": 2, "language": 3, "maritalstatus": 5}
+
+    counter = 0
+    for site in range(1, n_sites + 1):
+        for split, n in (("train", n_train), ("test", n_test)):
+            fnames = []
+            for _ in range(n):
+                label = int(rng.integers(0, 2))
+                attrs = {a: int(rng.integers(0, n_groups.get(a, 2))) for a in attributes}
+                # 2D SLO fundus (stored transposed, uint8-ish floats 0-255)
+                slo = rng.uniform(0, 255, size=(size, size)).astype(np.float32)
+                # small 3D OCT volume (depth x H x W)
+                oct_vol = rng.uniform(0, 255, size=(oct_depth, oct_hw, oct_hw)).astype(np.float32)
+                fname = f"data_{counter:05d}.npz"
+                counter += 1
+                np.savez(os.path.join(all_dir, fname), slo_fundus=slo,
+                         oct_bscans=oct_vol, glaucoma=np.asarray(label), **attrs)
+                fnames.append(fname)
+            for attr in attributes:
+                pd.DataFrame({"filename": fnames}).to_csv(
+                    os.path.join(base, f"meta_site{site}_{attr}_{split}.csv"), index=False)
+    return base
+
+
+def make_cifar10_fixture(root: str, n_train: int = 100, n_test: int = 40, seed: int = 0):
+    """Write tiny CIFAR-10-format pickle batches under root/cifar-10/."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, "cifar-10", "cifar-10-batches-py")
+    os.makedirs(d, exist_ok=True)
+    per_batch = n_train // 5
+    for i in range(1, 6):
+        data = rng.integers(0, 256, size=(per_batch, 3072), dtype=np.int64).astype(np.uint8)
+        labels = rng.integers(0, 10, size=per_batch).tolist()
+        with open(os.path.join(d, f"data_batch_{i}"), "wb") as f:
+            pickle.dump({"data": data, "labels": labels}, f)
+    data = rng.integers(0, 256, size=(n_test, 3072), dtype=np.int64).astype(np.uint8)
+    labels = rng.integers(0, 10, size=n_test).tolist()
+    with open(os.path.join(d, "test_batch"), "wb") as f:
+        pickle.dump({"data": data, "labels": labels}, f)
+    with open(os.path.join(d, "batches.meta"), "wb") as f:
+        pickle.dump({"label_names": [
+            "airplane", "automobile", "bird", "cat", "deer",
+            "dog", "frog", "horse", "ship", "truck"]}, f)
+    return os.path.join(root, "cifar-10")

@@ -1,0 +1,86 @@
+"""End-to-end FL runs through the CLI main() on synthetic fixtures."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")  # repo root for federated_main
+import federated_main  # noqa: E402
+
+from tests.fixtures import make_cifar10_fixture, make_fairfedmed_fixture  # noqa: E402
+
+
+def _args(**overrides):
+    parser = federated_main.build_arg_parser()
+    args = parser.parse_args([])
+    args.opts = []
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+@pytest.fixture(scope="module")
+def fairfedmed_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cifar_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cifar")
+    make_cifar10_fixture(str(root), n_train=80, n_test=40)
+    return str(root)
+
+
+def test_cifar10_promptfl_fedavg(cifar_root, tmp_path):
+    args = _args(
+        model="fedavg", trainer="PromptFL", round=1, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "out"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-vit",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
+
+
+def test_fairfedmed_fairlora_ema(fairfedmed_root, tmp_path):
+    args = _args(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+        frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "out2"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA", shared_half_s=True,
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph",
+              "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+              "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 2
+    assert np.isfinite(out["auc"][0])
+
+
+def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
+    args = _args(
+        model="FedOTP", trainer="GLP_OT", round=1, num_users=2, frac=1.0,
+        root=fairfedmed_root, output_dir=str(tmp_path / "out3"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="Sinkhorn", eps=0.1, thresh=1e-3, max_iter=50,
+        backbone="test-vit", attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1

@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+from sklearn.metrics import roc_auc_score
+
+from fairfedmed_tpu.evaluation import metrics as M
+
+
+@pytest.fixture()
+def binary_case():
+    rng = np.random.default_rng(0)
+    n = 200
+    probs = rng.uniform(0, 1, size=(n, 2)).astype(np.float32)
+    probs = probs / probs.sum(-1, keepdims=True)
+    gts = rng.integers(0, 2, n)
+    attr = rng.integers(0, 3, n)
+    return probs, gts, attr
+
+
+def test_compute_auc_binary_matches_sklearn(binary_case):
+    probs, gts, _ = binary_case
+    ours = M.compute_auc(probs, gts, num_classes=2)
+    ref = roc_auc_score(np.eye(2)[gts], probs, average="macro", multi_class="ovr")
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_dpd_eod_definitions():
+    # hand-computable case with 2 groups
+    y = np.array([1, 1, 0, 0, 1, 1, 0, 0])
+    pred = np.array([1, 0, 0, 0, 1, 1, 1, 0])
+    g = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    # selection: g0 1/4, g1 3/4 → dpd 0.5
+    assert abs(M.demographic_parity_difference(y, pred, sensitive_features=g) - 0.5) < 1e-9
+    # TPR: g0 1/2, g1 2/2 → .5 ; FPR: g0 0/2, g1 1/2 → .5 → eod 0.5
+    assert abs(M.equalized_odds_difference(y, pred, sensitive_features=g) - 0.5) < 1e-9
+
+
+def test_aod_definition():
+    y = np.array([1, 1, 0, 0, 1, 1, 0, 0])
+    pred = np.array([1, 0, 0, 0, 1, 1, 1, 0])
+    g = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    # priv=0: unpriv g1: TPR 1.0, FPR 0.5 ; priv g0: TPR 0.5, FPR 0.0
+    # AOD = 0.5*((0.5-0)+(1-0.5)) = 0.5
+    assert abs(M.average_odds_difference(y, pred, prot_attr=g, priv_group=0) - 0.5) < 1e-9
+
+
+def test_es_auc_skips_unknown_group(binary_case):
+    probs, gts, attr = binary_case
+    attr2 = attr.copy()
+    attr2[:10] = -1
+    es = M.equity_scaled_AUC(probs, gts, attr2)
+    assert 0 <= es <= 1
+
+
+def test_comprehensive_block_shapes(binary_case):
+    probs, gts, attr = binary_case
+    attrs = np.stack([attr, (attr + 1) % 2])
+    (oa, esacc, oauc, esauc, aucs, dpds, eods, aods, bgd) = \
+        M.evalute_comprehensive_perf_scores(probs, gts, attrs)
+    assert esacc.shape == (2,) and esauc.shape == (2,)
+    assert len(aucs) == 2 and len(aods) == 2
+    assert bgd.shape == (2, 2)
+    assert 0 <= oa <= 1 and 0 <= oauc <= 1
