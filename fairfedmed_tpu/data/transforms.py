@@ -170,6 +170,13 @@ def _final(cfg, img_chw_float01: bool = True):
     return fn
 
 
+def _u8(policy):
+    """Policies expect/return uint8 HWC; keep float inputs safe."""
+    def fn(img):
+        return policy(np.clip(img, 0, 255).astype(np.uint8)).astype(np.float32)
+    return fn
+
+
 MEDICAL_DATASETS = {"FairFedMed", "FedChexMimic", "WangGrant"}
 IN_MEMORY_DATASETS = {"Cifar10", "Cifar100"}
 
@@ -210,6 +217,24 @@ def build_transform(cfg, is_train: bool = True) -> Optional[Callable]:
             fns.append(lambda x: gaussian_noise(x, cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD))
         if "cutout" in choices:
             fns.append(lambda x: cutout(x, cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN))
+        # AutoAugment / RandAugment policy banks (transforms.py:203-225 wiring)
+        if "imagenet_policy" in choices or "cifar10_policy" in choices \
+                or "svhn_policy" in choices or "randaugment" in choices \
+                or "randaugment_fixmatch" in choices or "randaugment2" in choices:
+            from . import autoaugment as aa
+            if "imagenet_policy" in choices:
+                fns.append(_u8(aa.imagenet_policy()))
+            if "cifar10_policy" in choices:
+                fns.append(_u8(aa.cifar10_policy()))
+            if "svhn_policy" in choices:
+                fns.append(_u8(aa.svhn_policy()))
+            if "randaugment" in choices:
+                fns.append(_u8(aa.RandAugment(cfg.INPUT.RANDAUGMENT_N,
+                                              cfg.INPUT.RANDAUGMENT_M)))
+            if "randaugment_fixmatch" in choices:
+                fns.append(_u8(aa.RandAugmentFixMatch(cfg.INPUT.RANDAUGMENT_N)))
+            if "randaugment2" in choices:
+                fns.append(_u8(aa.RandAugment2(cfg.INPUT.RANDAUGMENT_N)))
     else:
         fns.append(lambda x: resize(x, size, interp))
         if "center_crop" in choices:

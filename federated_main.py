@@ -177,6 +177,7 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
             print("------------local test finish-------------")
             break
 
@@ -199,6 +200,7 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model == "fedprox":
             m = max(int(args.frac * args.num_users), 1)
@@ -220,6 +222,7 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model in {"PromptFL", "FedOTP"}:
             # global prompt rows aggregated, local rows personalized
@@ -254,6 +257,7 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model == "FedOTPLoRA":
             # FairLoRA: global+local prompts, LoRA on image encoder, EMA
@@ -303,6 +307,48 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+        elif args.model == "FedOTPLinearFT":
+            # global+local prompts, LoRA on image encoder, plain FedAvg over
+            # the FULL state (no EMA); local prompt rows + local lora_S kept
+            # per client (federated_main.py:487-602)
+            if len(args.idxs_users_train) > 0:
+                idxs_users = args.idxs_users_train
+            elif epoch == 0:
+                idxs_users = list(range(cfg.DATASET.USERS))
+            else:
+                m = max(int(args.frac * args.num_users), 1)
+                idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+            print("------------local train start epoch:", epoch, "-------------")
+            for idx in idxs_users:
+                if epoch == 0:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                else:
+                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                local_weight = local_trainer.state_dict()
+                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                local_weights[idx] = copy.deepcopy(local_weight)
+            print("------------local train finish epoch:", epoch, "-------------")
+            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+            print("------------local test start-------------")
+            results = []
+            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+            for idx in all_users:
+                local_weights_per[idx] = copy.deepcopy(global_weights)
+                local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                    for k, v in local_weights_1[idx].items():
+                        local_weights_per[idx][k] = v
+            for idx in all_users:
+                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            _summarize(results, start, global_time_list, global_test_acc_list,
+                       global_test_error_list, global_test_f1_list,
+                       global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model == "local":
             # no aggregation; single round (federated_main.py:728-773)
@@ -318,6 +364,7 @@ def main(args):
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
             break
         else:
             raise NotImplementedError(f"Unknown aggregation model: {args.model}")
@@ -367,9 +414,29 @@ def _summarize(results, start, time_list, acc_list, err_list, f1_list, auc_list,
     print("------------local test finish-------------")
 
 
+# per-domain client blocks for the feature-skew benchmarks
+# (federated_main.py:582-599 prints per-domain means when split_client is on)
+_DOMAIN_BLOCKS = {
+    "DomainNet": (("clipart", 0, 5), ("infograph", 5, 10), ("painting", 10, 15),
+                  ("quickdraw", 15, 20), ("real", 20, 25), ("sketch", 25, 30)),
+    "Office": (("amazon", 0, 3), ("caltech", 3, 6), ("dslr", 6, 9), ("webcam", 9, 12)),
+}
+
+
+def _report_split_client(cfg, args, epoch, accs):
+    blocks = _DOMAIN_BLOCKS.get(cfg.DATASET.NAME)
+    if blocks is None or epoch < 5 or not args.split_client:
+        return
+    print("Test acc of clients:", accs)
+    for name, lo, hi in blocks:
+        if len(accs) >= hi:
+            print(f"Test acc of {name}", np.mean(accs[lo:hi]), "±", np.std(accs[lo:hi]))
+    print("Test acc of all", np.mean(accs), np.std(accs))
+
+
 def build_arg_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", type=str, default="FedOTP", help="aggregation model: FedOTP, fedavg, fedprox, FedOTPLoRA, local")
+    parser.add_argument("--model", type=str, default="FedOTP", help="aggregation model: FedOTP, fedavg, fedprox, FedOTPLoRA, FedOTPLinearFT, local")
     parser.add_argument("--trainer", type=str, default="GLP_OT", help="CLIP, PromptFL, GLP_OT, GLP_OT_SVLoRA, Baseline")
     parser.add_argument("--round", type=int, default=10, help="number of communication rounds")
     parser.add_argument("--stepsize", type=int, default=-1)

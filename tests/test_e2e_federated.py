@@ -84,3 +84,24 @@ def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
     )
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
+
+
+def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
+    """FedOTPLinearFT: full-state FedAvg + personal prompts/lora_S
+    (federated_main.py:487-602)."""
+    args = _args(
+        model="FedOTPLinearFT", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+        frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "out4"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA", lora_local_s=True,
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 2
+    assert np.isfinite(out["acc"][0])
