@@ -218,6 +218,22 @@ def get_cfg_default() -> CfgNode:
     c.DATASET.CIFAR_C_TYPE = ""
     c.DATASET.CIFAR_C_LEVEL = 1
     c.DATASET.ALL_AS_UNLABELED = False
+    # federated keys — the CLI's extend_cfg overrides these from argparse
+    # (federated_main.py:100-123); defaults here keep library use standalone
+    c.DATASET.SUBSAMPLE_CLASSES = "all"
+    c.DATASET.USERS = 0
+    c.DATASET.IID = False
+    c.DATASET.PARTITION = "homo"
+    c.DATASET.USEALL = False
+    c.DATASET.BETA = 0.1
+    c.DATASET.REPEATRATE = 0.0
+    c.DATASET.IMBALANCE_TRAIN = False
+    c.DATASET.SPLIT_CLIENT = False
+    c.DATASET.ATTRIBUTE_TYPE = "race"
+    c.DATASET.ATTRIBUTES = ["gender", "race", "ethnicity", "language", "maritalstatus"]
+    c.DATASET.MODALITY_TYPE = "slo_fundus"
+    c.DATASET.DIM_PER_3D_SLICE = 16
+    c.DATASET.DISEASE_TYPE = ""
 
     c.DATALOADER = CfgNode()
     c.DATALOADER.NUM_WORKERS = 4

@@ -81,41 +81,139 @@ def generate_fewshot_dataset(data_source: Sequence[Datum], num_shots: int,
     return out
 
 
+def assign_classes_to_users(class_num: int, num_users: int, num_shots: int,
+                            is_iid: bool, repeat_rate: float, seed: int = 2023):
+    """Class→client assignment shared by both federated splitters
+    (base_dataset.py:251-305 and :360-437 semantics).
+
+    Classes are shuffled with a fixed seed then handed out in contiguous
+    chunks of ``round(class_num/num_users)``; the last client absorbs the
+    remainder.  With ``repeat_rate``>0 the first ``int(repeat_rate*class_num)``
+    shuffled classes are shared: either by every client, or — when
+    ``fold = num_users//num_shots`` > 0 — split across client folds.
+
+    Returns (user_class_dict, class_repeat_list).
+    """
+    class_list = list(range(class_num))
+    r = random.Random(seed)
+    r.shuffle(class_list)
+    if is_iid:
+        return {i: list(range(class_num)) for i in range(num_users)}, []
+
+    if repeat_rate <= 0:
+        cpu = int(round(class_num / num_users))
+        out = {}
+        for i in range(num_users):
+            hi = class_num if i == num_users - 1 else (i + 1) * cpu
+            out[i] = class_list[i * cpu : hi]
+        return out, []
+
+    repeat_num = int(repeat_rate * class_num)
+    class_repeat = class_list[:repeat_num]
+    class_norepeat = class_list[repeat_num:]
+    cpu = int(round((class_num - repeat_num) / num_users))
+    fold = int(num_users / num_shots) if num_shots > 0 else 0
+    out = {i: [] for i in range(num_users)}
+    if fold > 0:
+        client_per_fold = int(round(num_users / fold))
+        repeat_per_fold = int(round(repeat_num / fold))
+        client_list = list(range(num_users))
+        r.shuffle(client_list)
+        folds = {k: client_list[k * client_per_fold : min((k + 1) * client_per_fold, num_users)]
+                 for k in range(fold)}
+        for i in range(num_users):
+            for k, members in folds.items():
+                if i in members:
+                    hi = repeat_num if k == fold - 1 else (k + 1) * repeat_per_fold
+                    out[i].extend(class_repeat[k * repeat_per_fold : hi])
+    else:
+        for i in range(num_users):
+            out[i].extend(class_repeat)
+    for i in range(num_users):
+        hi = class_num - repeat_num if i == num_users - 1 else (i + 1) * cpu
+        out[i].extend(class_norepeat[i * cpu : hi])
+    return out, class_repeat
+
+
 def generate_federated_fewshot_dataset(
     data_source: Sequence[Datum],
     num_users: int,
     num_shots: int = -1,
     is_iid: bool = False,
     repeat_rate: float = 0.0,
+    repeat: bool = False,
 ) -> List[List[Datum]]:
-    """Federated few-shot splits (base_dataset.py:223-480 semantics).
+    """Federated few-shot splits (base_dataset.py:223-339 semantics).
 
-    iid: every client samples num_shots per class from the full pool.
-    non-iid: classes are partitioned across clients (with ``repeat_rate``
-    overlap), each client samples num_shots from its own classes.
+    Each client samples ``num_shots`` per owned class; shared (repeat) classes
+    contribute ``max(num_shots//num_users, 1)`` shots instead so total overlap
+    stays bounded.
+    """
+    if num_shots < 1:
+        return [list(data_source) for _ in range(num_users)]
+    tracker = split_dataset_by_label(data_source)
+    class_num = len({d.label for d in data_source})
+    user_classes, class_repeat = assign_classes_to_users(
+        class_num, num_users, num_shots, is_iid, repeat_rate)
+    repeat_set = set(class_repeat)
+    per_client: List[List[Datum]] = [[] for _ in range(num_users)]
+    for i in range(num_users):
+        owned = set(user_classes[i])
+        for label, items in tracker.items():
+            if label not in owned:
+                continue
+            if label in repeat_set:
+                k = max(int(num_shots / num_users), 1)
+                per_client[i].extend(random.sample(items, min(k, len(items))))
+            elif len(items) >= num_shots:
+                per_client[i].extend(random.sample(items, num_shots))
+            elif repeat:
+                per_client[i].extend(random.choices(items, k=num_shots))
+            else:
+                per_client[i].extend(items)
+    return per_client
+
+
+def generate_federated_dataset(
+    data_source: Sequence[Datum],
+    num_users: int,
+    num_shots: int = -1,
+    is_iid: bool = False,
+    repeat_rate: float = 0.0,
+) -> List[List[Datum]]:
+    """Federated full-data splits — the USEALL path (base_dataset.py:341-480).
+
+    iid: every class's samples are shuffled once and dealt to clients in
+    disjoint ``round(len/num_users)`` slices.  non-iid: each client owns ALL
+    samples of its assigned classes; shared (repeat) classes are dealt in
+    disjoint per-client slices like iid.
     """
     tracker = split_dataset_by_label(data_source)
-    labels = sorted(tracker)
+    class_num = len({d.label for d in data_source})
+    user_classes, class_repeat = assign_classes_to_users(
+        class_num, num_users, num_shots, is_iid, repeat_rate)
+    repeat_set = set(class_repeat)
+    fold = int(num_users / num_shots) if (repeat_rate > 0 and num_shots > 0) else 0
+
+    sample_order = {}
+    sample_per_user = {}
+    for label, items in tracker.items():
+        order = list(range(len(items)))
+        random.shuffle(order)
+        sample_order[label] = order
+        denom = (num_users / fold) if fold > 0 else num_users
+        sample_per_user[label] = int(round(len(items) / denom))
+
     per_client: List[List[Datum]] = [[] for _ in range(num_users)]
-
-    if is_iid:
-        for i in range(num_users):
-            for label in labels:
-                items = tracker[label]
-                k = num_shots if num_shots > 0 else len(items)
-                k = min(k, len(items))
-                per_client[i].extend(random.sample(items, k))
-        return per_client
-
-    # non-iid: split the label set across clients
-    n_overlap = int(len(labels) * repeat_rate)
-    shared = labels[:n_overlap]
-    rest = labels[n_overlap:]
-    chunks = [list(rest[i::num_users]) for i in range(num_users)]
     for i in range(num_users):
-        for label in chunks[i] + shared:
-            items = tracker[label]
-            k = num_shots if num_shots > 0 else len(items)
-            k = min(k, len(items))
-            per_client[i].extend(random.sample(items, k))
+        owned = set(user_classes[i])
+        for label, items in tracker.items():
+            if label not in owned:
+                continue
+            if is_iid or label in repeat_set:
+                spu = sample_per_user[label]
+                chosen = set(sample_order[label][i * spu : min((i + 1) * spu, len(items))])
+                per_client[i].extend(v for k, v in enumerate(items) if k in chosen)
+            else:
+                per_client[i].extend(items)
     return per_client

@@ -1,6 +1,10 @@
 from .cifar import Cifar10, Cifar100
+from .domain import DomainNet, Office
 from .fairfedmed import FairFedMed, FairFedMedDataset
 from .fedchexmimic import FedChexMimic, FedChexMimicDataset
+from .fewshot import (
+    Caltech101, DescribableTextures, Food101, OxfordFlowers, OxfordPets,
+)
 
 __all__ = [
     "FairFedMed",
@@ -9,4 +13,11 @@ __all__ = [
     "FedChexMimicDataset",
     "Cifar10",
     "Cifar100",
+    "Caltech101",
+    "OxfordPets",
+    "OxfordFlowers",
+    "Food101",
+    "DescribableTextures",
+    "DomainNet",
+    "Office",
 ]

@@ -37,22 +37,25 @@ class ClientLoader:
     """
 
     def __init__(self, dataset, batch_size: int, is_train: bool,
-                 transform=None, pad_final: bool = True):
+                 transform=None, pad_final: bool = True, sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.is_train = is_train
         self.transform = transform
         self.pad_final = pad_final and not is_train
+        self.sampler = sampler
         n = len(dataset)
         self.drop_last = is_train and n >= batch_size
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _indices(self):
+        if self.sampler is not None:
+            return np.asarray(list(self.sampler))
         n = len(self.dataset)
         if self.is_train:
             return np.random.permutation(n)
@@ -102,11 +105,24 @@ class DataManager:
         self.fed_train_loader_x_dict = {}
         self.fed_test_loader_x_dict = {}
         for idx in range(cfg.DATASET.USERS):
+            client_ds = dataset.federated_train_x[idx]
+            sampler = None
+            # structured samplers need Datum lists (ImageListSplit.items);
+            # Random/Sequential fall through to the built-in index paths
+            stype = cfg.DATALOADER.TRAIN_X.SAMPLER
+            if stype not in ("RandomSampler", "SequentialSampler") and hasattr(client_ds, "items"):
+                from .samplers import build_sampler
+                sampler = build_sampler(
+                    stype, cfg, data_source=client_ds.items,
+                    batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                    n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
+                    n_ins=cfg.DATALOADER.TRAIN_X.N_INS)
             self.fed_train_loader_x_dict[idx] = ClientLoader(
-                dataset.federated_train_x[idx],
+                client_ds,
                 batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
                 is_train=True,
                 transform=tfm_train,
+                sampler=sampler,
             )
             self.fed_test_loader_x_dict[idx] = ClientLoader(
                 dataset.federated_test_x[idx],

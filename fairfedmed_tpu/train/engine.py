@@ -215,7 +215,8 @@ class SimpleTrainer(TrainerBase):
         self.set_model_mode("eval")
         self.evaluator.reset()
         loader = self.fed_test_loader_x_dict[idx]
-        print(f"Evaluate on the *test* set of client {idx}")
+        # header format is parsed by tools/get_mean_std.py (trainer.py:539)
+        print(f"Evaluate on the client{idx}_test set")
         for batch in loader:
             inp, label, attrs, tgt_attr = self.parse_batch_test(batch)
             output = self.model_inference(inp, tgt_attr)

@@ -63,3 +63,52 @@ def make_cifar10_fixture(root: str, n_train: int = 100, n_test: int = 40, seed: 
             "airplane", "automobile", "bird", "cat", "deer",
             "dog", "frog", "horse", "ship", "truck"]}, f)
     return os.path.join(root, "cifar-10")
+
+
+def make_imagefolder_fixture(root: str, dataset_dir: str = "caltech-101",
+                             image_subdir: str = "101_ObjectCategories",
+                             n_classes: int = 4, n_per_class: int = 10,
+                             size: int = 24, seed: int = 0):
+    """Tiny images/<class>/<img>.jpg tree for the CoOp-style datasets."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    image_dir = os.path.join(root, dataset_dir, image_subdir)
+    for c in range(n_classes):
+        cdir = os.path.join(image_dir, f"class_{c}")
+        os.makedirs(cdir, exist_ok=True)
+        for i in range(n_per_class):
+            arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(cdir, f"img_{i}.jpg"))
+    return image_dir
+
+
+def make_domain_fixture(root: str, pkl_subdir: str = "DomainNet",
+                        sites=("clipart", "infograph", "painting",
+                               "quickdraw", "real", "sketch"),
+                        label_names=("bird", "feather", "headphones",
+                                     "ice_cream", "teapot", "tiger", "whale",
+                                     "windmill", "wine_glass", "zebra"),
+                        n_train: int = 40, n_test: int = 20, size: int = 24,
+                        seed: int = 0):
+    """{site}_{train,test}.pkl numpy pickles of (paths, text_labels) + JPEGs."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    pdir = os.path.join(root, pkl_subdir)
+    os.makedirs(pdir, exist_ok=True)
+    for site in sites:
+        for split, n in (("train", n_train), ("test", n_test)):
+            paths, labels = [], []
+            for i in range(n):
+                rel = os.path.join(pkl_subdir, "imgs", site, f"{split}_{i}.jpg")
+                full = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(full)
+                paths.append(rel)
+                labels.append(label_names[i % len(label_names)])
+            with open(os.path.join(pdir, f"{site}_{split}.pkl"), "wb") as f:
+                np.save(f, np.array([np.array(paths, dtype=object),
+                                     np.array(labels, dtype=object)],
+                                    dtype=object), allow_pickle=True)
