@@ -37,8 +37,10 @@ def main():
     tx = optax.sgd(1e-3, momentum=0.9, nesterov=False)
     opt_state = tx.init(trainable)
 
+    # frozen rides as an ARGUMENT — closing over the 150M-param pytree would
+    # embed it as MLIR constants and pull it all to host at trace time
     @jax.jit
-    def step(trainable, opt_state, image, label, attr):
+    def step(trainable, opt_state, frozen, image, label, attr):
         def loss_fn(t):
             return cross_entropy(forward(t, frozen, image, attr), label)
 
@@ -53,14 +55,16 @@ def main():
     attr = jnp.asarray(rng.integers(0, 3, (BATCH,)), jnp.int32)
 
     for _ in range(WARMUP):
-        trainable, opt_state, loss = step(trainable, opt_state, image, label, attr)
-    jax.block_until_ready(loss)
+        trainable, opt_state, loss = step(trainable, opt_state, frozen, image, label, attr)
+    float(np.asarray(loss))  # force full execution (block_until_ready can be
+    # a no-op over remote-TPU tunnels; a value fetch cannot)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        trainable, opt_state, loss = step(trainable, opt_state, image, label, attr)
-    jax.block_until_ready(loss)
+        trainable, opt_state, loss = step(trainable, opt_state, frozen, image, label, attr)
+    final_loss = float(np.asarray(loss))  # chains through all ITERS steps
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     imgs_per_sec = BATCH * ITERS / dt
     print(json.dumps({

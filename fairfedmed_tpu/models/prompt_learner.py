@@ -74,11 +74,14 @@ def init_prompt_learner(
 
     embedding = np.asarray(token_embedding, dtype=np.float32)[tokenized]  # [N*n_cls, 77, dim]
 
+    # state buffers stay HOST numpy: inside jit they embed as cheap literal
+    # constants — device-array closures would force a host materialization
+    # per trace (minutes over a remote-TPU tunnel)
     state = PromptState(
-        token_prefix=jnp.asarray(embedding[:, :1], dtype),
-        token_suffix=jnp.asarray(embedding[:, 1 + n_ctx :], dtype),
-        tokenized_prompts=jnp.asarray(tokenized),
-        eot_indices=jnp.asarray(tokenized.argmax(-1)),
+        token_prefix=np.asarray(embedding[:, :1], dtype),
+        token_suffix=np.asarray(embedding[:, 1 + n_ctx :], dtype),
+        tokenized_prompts=tokenized,
+        eot_indices=tokenized.argmax(-1),
         name_lens=name_lens,
         n_cls=n_cls,
         n_ctx=n_ctx,
