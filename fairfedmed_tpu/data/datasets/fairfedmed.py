@@ -67,13 +67,13 @@ class FairFedMedDataset:
         self.data_attrs: List[int] = []
         self._labels: List[int] = []
         self._attr_rows: List[List[int]] = []
-        modality_key = "oct_bscans" if modality_type in ("oct_bscans", "oct_bscans_3d") else modality_type
+        needed = self._MODALITY_MEMBERS.get(modality_type, (modality_type,))
         for fname in filenames:
             meta = index[fname]
             attr = meta["attrs"].get(attribute_type, 0)
             if attribute_type in MED_ATTRIBUTES and attr <= -1:
                 continue
-            if not meta["modalities"].get(modality_key, False):
+            if not all(meta["modalities"].get(mk, False) for mk in needed):
                 continue
             self.data_files.append(fname)
             self.data_attrs.append(attr)
@@ -132,10 +132,52 @@ class FairFedMedDataset:
         counts = np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1)
         return counts.tolist()
 
+    # members each modality needs from the NPZ
+    _MODALITY_MEMBERS = {
+        "slo_fundus": ("slo_fundus",), "oct_bscans": ("oct_bscans",),
+        "oct_bscans_3d": ("oct_bscans",), "rnflt": ("rnflt",), "ilm": ("ilm",),
+        "rnflt+ilm": ("rnflt", "ilm"), "clockhours": ("clockhours",),
+    }
+    _pool = None  # shared native prefetch pool (lazy)
+
+    @classmethod
+    def _get_pool(cls):
+        if cls._pool is None:
+            from ...native import PrefetchPool
+            cls._pool = PrefetchPool(n_threads=2)
+        return cls._pool
+
+    def prefetch(self, idxs):
+        """Queue upcoming samples' NPZ members on the native decode pool
+        (GIL-free C++ threads), overlapping IO with TPU compute."""
+        if not hasattr(self, "_tickets"):
+            self._tickets = {}
+        pool = self._get_pool()
+        for i in idxs:
+            i = int(i)
+            if i in self._tickets:
+                continue
+            path = os.path.join(self.data_path, self.data_files[i])
+            members = self._MODALITY_MEMBERS[self.modality_type]
+            self._tickets[i] = {mk: pool.submit(path, mk) for mk in members}
+
+    def _raw_members(self, i: int) -> dict:
+        tickets = getattr(self, "_tickets", {}).pop(i, None)
+        if tickets is not None:
+            pool = self._get_pool()
+            return {mk: pool.collect(t) for mk, t in tickets.items()}
+        from ...native import NpzReader
+
+        path = os.path.join(self.data_path, self.data_files[i])
+        with NpzReader(path) as r:
+            return {mk: r.get(mk) for mk in self._MODALITY_MEMBERS[self.modality_type]}
+
     def load_item(self, i: int):
         """Decode one sample → (image float32 [C,H,W] raw 0-255 scale, label,
-        attrs int vector).  Modality branches mirror data_utils.py:624-713."""
-        raw = np.load(os.path.join(self.data_path, self.data_files[i]), allow_pickle=True)
+        attrs int vector).  Modality branches mirror data_utils.py:624-713.
+        Label/attrs come from the metadata index (no NPZ reopen); pixel
+        members decode through the native reader/prefetch pool."""
+        raw = self._raw_members(i)
         m = self.modality_type
         res = self.resolution
 
@@ -186,8 +228,8 @@ class FairFedMedDataset:
         else:
             raise NotImplementedError(m)
 
-        label = int(float(raw["glaucoma"]))
-        attrs = np.asarray([int(raw[k]) for k in self.attributes], np.int32)
+        label = self._labels[i]
+        attrs = np.asarray(self._attr_rows[i], np.int32)
         return img.astype(np.float32), label, attrs
 
 

@@ -66,8 +66,15 @@ class ClientLoader:
         n = len(idxs)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
+        can_prefetch = hasattr(self.dataset, "prefetch")
+        if can_prefetch and stop > 0:
+            self.dataset.prefetch([int(i) for i in idxs[:bs]])
         for start in range(0, stop, bs):
             chunk = idxs[start : start + bs]
+            if can_prefetch and start + bs < stop:
+                # queue the NEXT batch on the native decode pool while this
+                # one is processed / the device is busy
+                self.dataset.prefetch([int(i) for i in idxs[start + bs : start + 2 * bs]])
             n_valid = len(chunk)
             if self.pad_final and n_valid < bs and n_valid > 0:
                 pad = np.resize(chunk, bs)  # cycle earlier indices as padding

@@ -1,0 +1,82 @@
+"""Native C++ NPZ loader + prefetch pool (fairfedmed_tpu/native/)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fairfedmed_tpu.native import NpzReader, PrefetchPool, native_available
+
+
+@pytest.fixture(scope="module")
+def npz_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npz")
+    rng = np.random.default_rng(0)
+    arrays = {
+        "f32": rng.random((7, 33, 5)).astype(np.float32),
+        "f64": rng.random((4,)).astype(np.float64),
+        "i64": rng.integers(-5, 5, (3, 2)).astype(np.int64),
+        "u8": (rng.random((16, 16)) * 255).astype(np.uint8),
+        "scalar": np.float32(3.5),
+        "boolean": np.bool_(True),
+    }
+    stored = str(d / "stored.npz")
+    compressed = str(d / "compressed.npz")
+    np.savez(stored, **arrays)
+    np.savez_compressed(compressed, **arrays)
+    return stored, compressed, arrays
+
+
+def test_native_builds():
+    assert native_available(), "g++/zlib are in the image; native must build"
+
+
+@pytest.mark.parametrize("which", [0, 1], ids=["stored", "deflate"])
+def test_reader_roundtrip(npz_files, which):
+    path, arrays = npz_files[which], npz_files[2]
+    with NpzReader(path) as r:
+        assert set(r.keys()) == set(arrays)
+        for name, ref in arrays.items():
+            got = r.get(name)
+            assert got.dtype == np.asarray(ref).dtype
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_reader_missing_member(npz_files):
+    with NpzReader(npz_files[0]) as r:
+        with pytest.raises(KeyError):
+            r.get("nope")
+
+
+def test_prefetch_pool(npz_files):
+    stored, compressed, arrays = npz_files
+    pool = PrefetchPool(2)
+    tickets = []
+    for _ in range(3):
+        tickets.append((pool.submit(stored, "f32"), arrays["f32"]))
+        tickets.append((pool.submit(compressed, "u8"), arrays["u8"]))
+    for t, ref in tickets:
+        np.testing.assert_array_equal(pool.collect(t), ref)
+    pool.close()
+
+
+def test_fairfedmed_prefetch_path(tmp_path):
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=6, n_test=4, size=24)
+    ds = FairFedMedDataset(
+        base_path=str(tmp_path / "fairfedmed"), site=1, attribute_type="race",
+        attributes=["gender", "race"], modality_type="slo_fundus",
+        resolution=24, train=True)
+    direct = [ds.load_item(i) for i in range(len(ds))]
+    ds2 = FairFedMedDataset(
+        base_path=str(tmp_path / "fairfedmed"), site=1, attribute_type="race",
+        attributes=["gender", "race"], modality_type="slo_fundus",
+        resolution=24, train=True)
+    ds2.prefetch(range(len(ds2)))
+    for i, (img, label, attrs) in enumerate(direct):
+        img2, label2, attrs2 = ds2.load_item(i)
+        np.testing.assert_array_equal(img, img2)
+        assert label == label2
+        np.testing.assert_array_equal(attrs, attrs2)
