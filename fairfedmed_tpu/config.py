@@ -293,6 +293,9 @@ def get_cfg_default() -> CfgNode:
     c.TRAIN.CHECKPOINT_FREQ = 0
     c.TRAIN.PRINT_FREQ = 10
     c.TRAIN.COUNT_ITER = "train_x"
+    # when set, the first training epoch is wrapped in a jax.profiler trace
+    # written here (TensorBoard/Perfetto viewable)
+    c.TRAIN.PROFILE_DIR = ""
 
     c.TEST = CfgNode()
     c.TEST.EVALUATOR = "Classification"

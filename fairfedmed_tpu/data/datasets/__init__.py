@@ -2,6 +2,9 @@ from .cifar import Cifar10, Cifar100
 from .domain import DomainNet, Office
 from .fairfedmed import FairFedMed, FairFedMedDataset
 from .fedchexmimic import FedChexMimic, FedChexMimicDataset
+from .generic import (
+    CharacterDataset, FashionMnist, Femnist, Mnist, Svhn,
+)
 from .fewshot import (
     Caltech101, DescribableTextures, Food101, OxfordFlowers, OxfordPets,
 )
@@ -20,4 +23,9 @@ __all__ = [
     "DescribableTextures",
     "DomainNet",
     "Office",
+    "Mnist",
+    "FashionMnist",
+    "Svhn",
+    "Femnist",
+    "CharacterDataset",
 ]

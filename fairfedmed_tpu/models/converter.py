@@ -16,16 +16,55 @@ import numpy as np
 from .clip_model import CLIPConfig
 
 # SHA256-named download URLs of the public OpenAI checkpoints
-# (clip/clip.py:29-36).  No network in this environment — used only to derive
-# expected filenames in the cache directory.
-MODEL_FILES = {
-    "RN50": "RN50.pt",
-    "RN101": "RN101.pt",
-    "RN50x4": "RN50x4.pt",
-    "RN50x16": "RN50x16.pt",
-    "ViT-B/32": "ViT-B-32.pt",
-    "ViT-B/16": "ViT-B-16.pt",
+# (clip/clip.py:29-36).  The sha256 is the first path segment under the
+# bucket and is verified after download, like the reference's _download
+# (clip/clip.py:39-68).
+MODEL_URLS = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50x4": "https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+    "RN50x16": "https://openaipublic.azureedge.net/clip/models/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
 }
+MODEL_FILES = {name: url.rsplit("/", 1)[1] for name, url in MODEL_URLS.items()}
+
+
+def download_checkpoint(backbone_name: str, root: Optional[str] = None) -> str:
+    """SHA256-verified download of a public OpenAI CLIP checkpoint into
+    ``~/.cache/clip`` (clip/clip.py:39-68 semantics).  Returns the local path;
+    raises RuntimeError when the backbone is unknown, the network is
+    unavailable, or the digest mismatches."""
+    import hashlib
+    import urllib.request
+
+    if backbone_name not in MODEL_URLS:
+        raise RuntimeError(f"unknown CLIP backbone {backbone_name!r}; "
+                           f"choices: {sorted(MODEL_URLS)}")
+    url = MODEL_URLS[backbone_name]
+    expected_sha = url.split("/")[-2]
+    target_dir = os.path.expanduser(root or "~/.cache/clip")
+    os.makedirs(target_dir, exist_ok=True)
+    target = os.path.join(target_dir, url.rsplit("/", 1)[1])
+
+    def sha256_of(path):
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    if os.path.isfile(target):
+        if sha256_of(target) == expected_sha:
+            return target
+        raise RuntimeError(f"{target} exists but SHA256 does not match; delete and retry")
+    try:
+        urllib.request.urlretrieve(url, target)
+    except Exception as e:
+        raise RuntimeError(f"cannot download {url}: {e}") from e
+    if sha256_of(target) != expected_sha:
+        raise RuntimeError("Model has been downloaded but the SHA256 checksum does not match")
+    return target
 
 
 def find_checkpoint(backbone_name: str, root: Optional[str] = None) -> Optional[str]:

@@ -243,6 +243,16 @@ class TrainerX(SimpleTrainer):
     (TrainerX.run_epoch, trainer.py:685-741)."""
 
     def run_epoch(self, idx, global_epoch):
+        profile_dir = getattr(self.cfg.TRAIN, "PROFILE_DIR", "")
+        if profile_dir and not getattr(self, "_profiled", False):
+            self._profiled = True
+            from ..utils.profiling import profile_trace
+
+            with profile_trace(profile_dir):
+                return self._run_epoch_inner(idx, global_epoch)
+        return self._run_epoch_inner(idx, global_epoch)
+
+    def _run_epoch_inner(self, idx, global_epoch):
         self.set_model_mode("train")
         losses = MetricMeter()
         batch_time = AverageMeter()
