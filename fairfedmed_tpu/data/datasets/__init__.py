@@ -5,6 +5,7 @@ from .fedchexmimic import FedChexMimic, FedChexMimicDataset
 from .generic import (
     CharacterDataset, FashionMnist, Femnist, Mnist, Svhn,
 )
+from .wanggrant import WangGrant, WangGrantDataset
 from .fewshot import (
     Caltech101, DescribableTextures, Food101, OxfordFlowers, OxfordPets,
 )
@@ -28,4 +29,6 @@ __all__ = [
     "Svhn",
     "Femnist",
     "CharacterDataset",
+    "WangGrant",
+    "WangGrantDataset",
 ]

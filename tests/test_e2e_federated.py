@@ -105,3 +105,26 @@ def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 2
     assert np.isfinite(out["acc"][0])
+
+
+def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
+    """3D OCT path: [128,H,W] -> [::4] 32 slices -> dim_per_3d_slice chunks ->
+    proj to pseudo-RGB -> per-slice FairLoRA S repeat -> slice-mean logits
+    (GLP_OT_SVLoRA.py:682-690,473-475,754)."""
+    args = _args(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "oct"),
+        train_batch_size=2, test_batch_size=2, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="oct_bscans", dim_per_3d_slice=16,
+        unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
