@@ -84,9 +84,16 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
         else:
             if not name.startswith("test"):
                 print(f"WARNING: no checkpoint found for {name}; using random init")
-            kv, kt = jax.random.split(seed_key)
-            visual, bn, stats = resnet_clip.init_modified_resnet(kv, rn_cfg)
-            text_full = init_clip_params(kt, clip_cfg)
+            # one jitted program: eager per-leaf init round-trips per op,
+            # which is pathological on a remote-TPU attachment
+            @jax.jit
+            def _init_rn(key):
+                kv, kt = jax.random.split(key)
+                visual, bn, stats = resnet_clip.init_modified_resnet(kv, rn_cfg)
+                text_full = init_clip_params(kt, clip_cfg)
+                return visual, bn, stats, text_full
+
+            visual, bn, stats, text_full = _init_rn(seed_key)
             params = {"visual": visual, "text": text_full["text"],
                       "logit_scale": text_full["logit_scale"]}
             pretrained = False
@@ -101,7 +108,7 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
 
     if name in TEST_PRESETS:
         clip_cfg = TEST_PRESETS[name]
-        params = init_clip_params(seed_key, clip_cfg)
+        params = jax.jit(lambda k: init_clip_params(k, clip_cfg))(seed_key)
         pretrained = False
     else:
         ckpt = converter.find_checkpoint(name, root=cfg.DATASET.ROOT) if cfg.MODEL.BACKBONE.PRETRAINED else None
@@ -116,7 +123,7 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
                 raise ValueError(f"Unknown CLIP backbone: {name}")
             print(f"WARNING: no checkpoint found for {name}; using random init "
                   f"(place the OpenAI .pt under ~/.cache/clip to enable pretrained weights)")
-            params = init_clip_params(seed_key, clip_cfg)
+            params = jax.jit(lambda k: init_clip_params(k, clip_cfg))(seed_key)
             pretrained = False
 
     params = jax.tree_util.tree_map(

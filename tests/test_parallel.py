@@ -108,3 +108,22 @@ def test_parallel_round_matches_host_aggregation():
         np.testing.assert_allclose(
             got[1], np.asarray(host_clients[i]["prompt_learner"]["ctx"][1]),
             rtol=2e-4, atol=1e-5)
+
+
+def test_dist_helpers():
+    """Topology helpers (fed/dist.py vs Dassl/dassl/engine/utils.py:22-65)."""
+    import jax
+    from fairfedmed_tpu.fed.dist import (
+        data_parallel_sharding, get_local_device_count, get_rank,
+        get_world_size, is_main_process, make_data_parallel_mesh,
+        replicated_sharding,
+    )
+
+    assert get_world_size() >= 1 and get_rank() == 0 and is_main_process()
+    assert get_local_device_count() >= 1
+    mesh = make_data_parallel_mesh()
+    sh = data_parallel_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    x = jax.device_put(jax.numpy.zeros((8, 4)), sh)
+    y = jax.device_put(jax.numpy.zeros((4,)), rep)
+    assert x.shape == (8, 4) and y.sharding.is_fully_replicated
