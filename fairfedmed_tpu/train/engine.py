@@ -260,8 +260,13 @@ class TrainerX(SimpleTrainer):
 
         loader = self.fed_train_loader_x_dict[idx]
         self.num_batches = len(loader)
+        # software pipeline: keep 2 batches resident on device while the host
+        # decodes ahead (data_manager.py prefetch_to_device) — overlaps NPZ/
+        # JPEG decode + transfer with the compiled step
+        from ..data.manager import prefetch_to_device
+
         end = time.time()
-        for self.batch_idx, batch in enumerate(loader):
+        for self.batch_idx, batch in enumerate(prefetch_to_device(loader, size=2)):
             data_time.update(time.time() - end)
             loss_summary = self.forward_backward(batch)
             batch_time.update(time.time() - end)
