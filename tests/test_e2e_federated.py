@@ -128,3 +128,18 @@ def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+
+
+def test_cifar10_baseline_trainer(cifar_root, tmp_path):
+    """Baseline trainer: supervised backbone+classifier, no CLIP
+    (trainers/promptfl.py:348-372 / SimpleNet role)."""
+    args = _args(
+        model="fedavg", trainer="Baseline", round=1, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "base"),
+        train_batch_size=8, test_batch_size=10,
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])

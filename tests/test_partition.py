@@ -1,0 +1,85 @@
+"""Non-IID partitioners (data/partition.py vs utils/datasplit.py:47-480)."""
+
+import numpy as np
+import pytest
+
+from fairfedmed_tpu.data.partition import (
+    CIFAR100_COARSE, partition_indices, record_class_counts,
+)
+
+
+@pytest.fixture
+def labels():
+    rng = np.random.default_rng(0)
+    y_train = rng.integers(0, 10, 600)
+    y_test = rng.integers(0, 10, 200)
+    return y_train, y_test
+
+
+def _assert_exact_cover(idx_map, n):
+    flat = sorted(int(i) for part in idx_map.values() for i in part)
+    assert flat == list(range(n))
+
+
+def test_homo(labels):
+    y_train, y_test = labels
+    np.random.seed(0)
+    tr, te = partition_indices(y_train, y_test, "homo", 4, num_classes=10)
+    _assert_exact_cover(tr, 600)
+    _assert_exact_cover(te, 200)
+    sizes = [len(v) for v in tr.values()]
+    assert max(sizes) - min(sizes) <= 1
+
+
+@pytest.mark.parametrize("strategy", ["noniid-labeldir", "noniid-labeluni",
+                                      "iid-label100"])
+def test_label_strategies_cover(labels, strategy):
+    y_train, y_test = labels
+    np.random.seed(0)
+    tr, te = partition_indices(y_train, y_test, strategy, 3, beta=0.5,
+                               num_classes=10)
+    _assert_exact_cover(tr, 600)
+    _assert_exact_cover(te, 200)
+
+
+def test_label_quantity(labels):
+    """noniid-#label{k}: each client holds exactly k classes."""
+    y_train, y_test = labels
+    np.random.seed(0)
+    tr, te = partition_indices(y_train, y_test, "noniid-#label3", 3,
+                               num_classes=10)
+    for part in tr.values():
+        held = {int(y_train[i]) for i in part}
+        assert len(held) <= 3
+
+
+def test_labeldir_skew(labels):
+    """Dirichlet with small beta must produce skewed class histograms."""
+    y_train, y_test = labels
+    np.random.seed(0)
+    tr, _ = partition_indices(y_train, y_test, "noniid-labeldir", 3, beta=0.1,
+                              num_classes=10)
+    counts = [np.bincount(y_train[v], minlength=10) for v in tr.values()]
+    # at least one client must be visibly skewed (some class near-absent)
+    assert any(c.min() * 5 < c.max() for c in counts)
+
+
+def test_labeldir100_uses_coarse_hierarchy():
+    rng = np.random.default_rng(1)
+    y_train = rng.integers(0, 100, 2000)
+    y_test = rng.integers(0, 100, 500)
+    np.random.seed(0)
+    tr, te = partition_indices(y_train, y_test, "noniid-labeldir100", 5,
+                               beta=0.1, num_classes=100)
+    _assert_exact_cover(tr, 2000)
+    assert CIFAR100_COARSE.shape == (100,)
+    assert CIFAR100_COARSE.max() == 19
+
+
+def test_record_class_counts(labels):
+    y_train, y_test = labels
+    np.random.seed(0)
+    tr, _ = partition_indices(y_train, y_test, "homo", 2, num_classes=10)
+    counts = record_class_counts(y_train, tr)
+    assert set(counts) == {0, 1}
+    assert sum(sum(v.values()) for v in counts.values()) == 600
