@@ -307,5 +307,35 @@ def get_cfg_default() -> CfgNode:
 
     c.TRAINER = CfgNode()
     c.TRAINER.NAME = ""
+    # method nodes — the CLI's extend_cfg overrides these from argparse
+    # (federated_main.py:27-58); defaults keep library use standalone
+    c.TRAINER.PROMPTFL = CfgNode()
+    c.TRAINER.PROMPTFL.N_CTX = 16
+    c.TRAINER.PROMPTFL.CSC = False
+    c.TRAINER.PROMPTFL.CTX_INIT = False
+    c.TRAINER.PROMPTFL.PREC = "fp16"
+    c.TRAINER.PROMPTFL.CLASS_TOKEN_POSITION = "end"
+    c.TRAINER.GLP_OT = CfgNode()
+    c.TRAINER.GLP_OT.N_CTX = 16
+    c.TRAINER.GLP_OT.CSC = False
+    c.TRAINER.GLP_OT.CTX_INIT = False
+    c.TRAINER.GLP_OT.PREC = "fp16"
+    c.TRAINER.GLP_OT.CLASS_TOKEN_POSITION = "end"
+    c.TRAINER.GLP_OT.N = 2
+    c.TRAINER.GLP_OT.THRESH = 1e-3
+    c.TRAINER.GLP_OT.EPS = 0.1
+    c.TRAINER.GLP_OT.OT = "COT"
+    c.TRAINER.GLP_OT.TOP_PERCENT = 1.0
+    c.TRAINER.GLP_OT.MAX_ITER = 100
+    c.TRAINER.GLP_OT_LORA = CfgNode()
+    c.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER = False
+    c.TRAINER.GLP_OT_LORA.UNFREEZE_TEXT_ENCODER = False
+    c.TRAINER.GLP_OT_LORA.RANK = 4
+    c.TRAINER.GLP_OT_LORA.ALPHA = 0.04
+    c.TRAINER.GLP_OT_LORA.TYPE = "LoRA"
+    c.TRAINER.GLP_OT_LORA.LOCAL_S = False
+    c.TRAINER.GLP_OT_LORA.GLOBAL_S = False
+    c.TRAINER.GLP_OT_LORA.DISABLE_ATTR = False
+    c.TRAINER.LAMBDA_FAIRNESS = 0.0
 
     return c

@@ -61,14 +61,17 @@ RN_PRESETS = {
 # --------------------------------------------------------------------------- #
 
 def conv2d(x, w, stride=1, padding=0, policy: Optional[Policy] = None):
+    # No preferred_element_type here: an f32 accumulator output feeds an f32
+    # cotangent into the conv transpose rule against bf16 weights, which
+    # lax.conv rejects (mixed dtypes) — and TPU convs accumulate in fp32
+    # internally for bf16 operands anyway.
     dt = policy.compute_dtype if policy else x.dtype
     return jax.lax.conv_general_dilated(
         x.astype(dt), w.astype(dt),
         window_strides=(stride, stride),
         padding=[(padding, padding)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
+    )
 
 
 def avg_pool(x, k):
@@ -105,15 +108,18 @@ def conv1x1_with_lora(x, w, lora, attr_mix, scaling, policy):
     path, GLP_OT_SVLoRA.py:469-480)."""
     y = conv2d(x, w, policy=policy)
     if lora is not None:
-        a = lora["lora_A"].astype(x.dtype)  # [C_in, r]
-        b = lora["lora_B"].astype(x.dtype)  # [r, C_out]
-        h = jnp.einsum("bchw,cr->brhw", x, a, preferred_element_type=jnp.float32).astype(x.dtype)
+        # rank-r delta computed in f32: negligible FLOPs, and the mixed-layout
+        # bf16→f32 einsums are unsupported by the CPU dot thunks
+        x32 = x.astype(jnp.float32)
+        a = lora["lora_A"].astype(jnp.float32)  # [C_in, r]
+        b = lora["lora_B"].astype(jnp.float32)  # [r, C_out]
+        h = jnp.einsum("bchw,cr->brhw", x32, a)
         from ..adapters.lora import effective_s
 
         s = effective_s(lora, attr_mix, x.shape[0])
         if s is not None:
-            h = h * s.astype(x.dtype)[:, :, None, None]
-        dy = jnp.einsum("brhw,ro->bohw", h, b, preferred_element_type=jnp.float32).astype(x.dtype)
+            h = h * s.astype(jnp.float32)[:, :, None, None]
+        dy = jnp.einsum("brhw,ro->bohw", h, b).astype(y.dtype)
         y = y + dy * scaling
     return y
 

@@ -143,3 +143,57 @@ def test_cifar10_baseline_trainer(cifar_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+
+
+def test_fairfedmed_fairlora_rn50_oct(fairfedmed_root, tmp_path):
+    """RN50 path with 3D OCT: FairLoRA on 1x1 convs, trainable BatchNorm,
+    slice projection (scripts/fairfedlora_fairfedmed_oct_rn50.sh shape)."""
+    args = _args(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "rnoct"),
+        train_batch_size=2, test_batch_size=2, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-rn",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="oct_bscans", dim_per_3d_slice=16,
+        unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
+
+
+def test_save_and_resume_checkpoint(cifar_root, tmp_path):
+    """Full-format checkpoint + pointer file + resume
+    (torchtools.py:27-166 semantics)."""
+    from fairfedmed_tpu.config import get_cfg_default
+    from fairfedmed_tpu.train import build_trainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = cifar_root
+    cfg.DATASET.NAME = "Cifar10"
+    cfg.DATASET.USERS = 2
+    cfg.DATASET.PARTITION = "homo"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = "PromptFL"
+    cfg.MODEL.BACKBONE.NAME = "test-vit"
+    cfg.OUTPUT_DIR = str(tmp_path / "ck")
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.DATALOADER.TEST.BATCH_SIZE = 10
+    cfg.SEED = 1
+    trainer = build_trainer(cfg)
+    trainer.train(idx=0, global_epoch=0, is_fed=True)
+    before = {k: np.asarray(v).copy() for k, v in trainer.state_dict().items()}
+    path = trainer.save_checkpoint(epoch=0, directory=cfg.OUTPUT_DIR)
+    assert "model.pth.tar-0" in path
+    # clobber weights, then resume from the pointer file
+    trainer.load_state_dict({k: np.zeros_like(v) for k, v in before.items()})
+    epoch = trainer.resume_from_checkpoint(cfg.OUTPUT_DIR)
+    assert epoch == 1
+    after = trainer.state_dict()
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(after[k]), before[k])
