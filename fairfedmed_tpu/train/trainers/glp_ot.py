@@ -111,6 +111,19 @@ class GLPOTBase(TrainerX):
 
         trainable = {"prompt_learner": pl_params}
 
+        # LayerNorm unfreezing (GLP_OT.py:414-426): without LoRA,
+        # UNFREEZE_IMAGE_ENCODER trains visual ln_pre; UNFREEZE_TEXT_ENCODER
+        # trains the text ln_final.  The LN params move to the trainable tree
+        # and override the frozen copies inside the jitted forward.
+        lc0 = cfg.TRAINER.GLP_OT_LORA
+        if lc0.UNFREEZE_IMAGE_ENCODER and not self.use_lora \
+                and bundle.backbone_type == "vit":
+            trainable["visual_ln_pre"] = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), bundle.params["visual"]["ln_pre"])
+        if lc0.UNFREEZE_TEXT_ENCODER:
+            trainable["text_ln_final"] = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), bundle.params["text"]["ln_final"])
+
         # demographic groups
         self.disable_attr = bool(cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR) if self.use_lora else True
         if self.use_lora and not cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR \
@@ -237,6 +250,15 @@ class GLPOTBase(TrainerX):
         (logits [b, n_cls], OT-validity flag, new BN stats)."""
         cfg_t = self.cfg.TRAINER.GLP_OT
         policy = self.policy
+        # trainable LayerNorm overrides (GLP_OT.py:414-426)
+        if "visual_ln_pre" in trainable or "text_ln_final" in trainable:
+            frozen = dict(frozen)
+            if "visual_ln_pre" in trainable:
+                frozen["visual"] = {**frozen["visual"],
+                                    "ln_pre": trainable["visual_ln_pre"]}
+            if "text_ln_final" in trainable:
+                frozen["text"] = {**frozen["text"],
+                                  "ln_final": trainable["text_ln_final"]}
         x = self._preprocess(trainable, image)
 
         lora = trainable.get("image_encoder_lora")
@@ -415,6 +437,12 @@ class GLPOTBase(TrainerX):
         applies verbatim.
         """
         out = {"prompt_learner.ctx": np.asarray(self.trainable["prompt_learner"]["ctx"], np.float32)}
+        if "visual_ln_pre" in self.trainable:
+            out["image_encoder.ln_pre.weight"] = np.asarray(self.trainable["visual_ln_pre"]["weight"], np.float32)
+            out["image_encoder.ln_pre.bias"] = np.asarray(self.trainable["visual_ln_pre"]["bias"], np.float32)
+        if "text_ln_final" in self.trainable:
+            out["text_encoder.ln_final.weight"] = np.asarray(self.trainable["text_ln_final"]["weight"], np.float32)
+            out["text_encoder.ln_final.bias"] = np.asarray(self.trainable["text_ln_final"]["bias"], np.float32)
         if "proj_per_3d_slice" in self.trainable:
             p = self.trainable["proj_per_3d_slice"]
             out["proj_per_3d_slice.weight"] = np.asarray(p["weight"], np.float32)
@@ -456,6 +484,16 @@ class GLPOTBase(TrainerX):
         if "prompt_learner.ctx" in state:
             t["prompt_learner"]["ctx"] = jnp.asarray(state["prompt_learner.ctx"],
                                                      t["prompt_learner"]["ctx"].dtype)
+        if "visual_ln_pre" in t and "image_encoder.ln_pre.weight" in state:
+            t["visual_ln_pre"] = {
+                "weight": jnp.asarray(state["image_encoder.ln_pre.weight"], jnp.float32),
+                "bias": jnp.asarray(state["image_encoder.ln_pre.bias"], jnp.float32),
+            }
+        if "text_ln_final" in t and "text_encoder.ln_final.weight" in state:
+            t["text_ln_final"] = {
+                "weight": jnp.asarray(state["text_encoder.ln_final.weight"], jnp.float32),
+                "bias": jnp.asarray(state["text_encoder.ln_final.bias"], jnp.float32),
+            }
         if "proj_per_3d_slice" in t and "proj_per_3d_slice.weight" in state:
             t["proj_per_3d_slice"] = {
                 "weight": jnp.asarray(state["proj_per_3d_slice.weight"], jnp.float32),

@@ -112,3 +112,36 @@ def make_domain_fixture(root: str, pkl_subdir: str = "DomainNet",
                 np.save(f, np.array([np.array(paths, dtype=object),
                                      np.array(labels, dtype=object)],
                                     dtype=object), allow_pickle=True)
+
+
+def make_fedchexmimic_fixture(root: str, n_train: int = 8, n_test: int = 6,
+                              size: int = 32, seed: int = 0,
+                              attributes=("race", "gender", "age")):
+    """CheXpert (site1) + MIMIC (site2) layout: per-site CSVs + gray JPEGs."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "fedchexmimic")
+    os.makedirs(os.path.join(base, "files_336p"), exist_ok=True)
+    n_groups = {"race": 3, "gender": 2, "age": 3}
+    counter = 0
+    for site_name, img_dir in (("chexpert", base),
+                               ("mimic", os.path.join(base, "files_336p"))):
+        for split, n in (("train", n_train), ("test", n_test)):
+            rows = {"filename": [], "disease_label": []}
+            for a in attributes:
+                rows[a + "_label"] = []
+            for _ in range(n):
+                fname = f"img_{counter:05d}.jpg"
+                counter += 1
+                arr = (rng.random((size, size)) * 255).astype(np.uint8)
+                Image.fromarray(arr, mode="L").save(os.path.join(img_dir, fname))
+                rows["filename"].append(fname)
+                rows["disease_label"].append(int(rng.integers(0, 2)))
+                for a in attributes:
+                    rows[a + "_label"].append(int(rng.integers(0, n_groups[a])))
+            for attr in attributes:
+                pd.DataFrame(rows).to_csv(
+                    os.path.join(base, f"meta_{site_name}_{attr}_{split}.csv"),
+                    index=False)
+    return base

@@ -197,3 +197,81 @@ def test_save_and_resume_checkpoint(cifar_root, tmp_path):
     after = trainer.state_dict()
     for k in before:
         np.testing.assert_array_equal(np.asarray(after[k]), before[k])
+
+
+def test_fedchexmimic_fairlora(tmp_path):
+    """FairFedMed-Chest 2-site path (utils/data_utils.py:729-790 semantics)."""
+    from tests.fixtures import make_fedchexmimic_fixture
+
+    make_fedchexmimic_fixture(str(tmp_path / "data"), size=32)
+    args = _args(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        frac=1.0, root=str(tmp_path / "data"),
+        output_dir=str(tmp_path / "out"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race", attributes=["race", "gender", "age"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FedChexMimic", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
+
+
+def test_glpot_unfreeze_layernorms(fairfedmed_root, tmp_path):
+    """GLP_OT (no LoRA) with UNFREEZE_IMAGE/TEXT_ENCODER trains visual ln_pre
+    + text ln_final (GLP_OT.py:414-426)."""
+    args = _args(
+        model="FedOTP", trainer="GLP_OT", round=1, num_users=2, frac=1.0,
+        root=fairfedmed_root, output_dir=str(tmp_path / "ln"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus",
+        unfreeze_image_encoder=True, unfreeze_text_encoder=True,
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+
+
+def test_unfrozen_layernorms_receive_gradients(fairfedmed_root, tmp_path):
+    from fairfedmed_tpu.config import get_cfg_default
+    from fairfedmed_tpu.train import build_trainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = fairfedmed_root
+    cfg.DATASET.NAME = "FairFedMed"
+    cfg.DATASET.USERS = 1
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = "GLP_OT"
+    cfg.TRAINER.GLP_OT.N_CTX = 4
+    cfg.TRAINER.GLP_OT.OT = "None"
+    cfg.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER = True
+    cfg.TRAINER.GLP_OT_LORA.UNFREEZE_TEXT_ENCODER = True
+    cfg.MODEL.BACKBONE.NAME = "test-vit"
+    cfg.OUTPUT_DIR = str(tmp_path / "lnu")
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.TEST.EVALUATOR = "Classification_oph"
+    cfg.SEED = 1
+    trainer = build_trainer(cfg)
+    sd = trainer.state_dict()
+    assert "image_encoder.ln_pre.weight" in sd
+    assert "text_encoder.ln_final.weight" in sd
+    before = {k: sd[k].copy() for k in
+              ("image_encoder.ln_pre.weight", "text_encoder.ln_final.weight")}
+    trainer.train(idx=0, global_epoch=0, is_fed=True)
+    after = trainer.state_dict()
+    # SGD must have moved the unfrozen LayerNorms
+    assert not np.array_equal(after["image_encoder.ln_pre.weight"],
+                              before["image_encoder.ln_pre.weight"])
+    assert not np.array_equal(after["text_encoder.ln_final.weight"],
+                              before["text_encoder.ln_final.weight"])
