@@ -275,3 +275,31 @@ def test_unfrozen_layernorms_receive_gradients(fairfedmed_root, tmp_path):
                               before["image_encoder.ln_pre.weight"])
     assert not np.array_equal(after["text_encoder.ln_final.weight"],
                               before["text_encoder.ln_final.weight"])
+
+
+def test_zero_shot_clip_branch(cifar_root, tmp_path):
+    """trainer=CLIP: eval-only round, breaks after one epoch
+    (federated_main.py:223-267)."""
+    args = _args(
+        model="fedavg", trainer="CLIP", round=3, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "zs"),
+        train_batch_size=8, test_batch_size=10, backbone="test-vit",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1  # breaks after round 0
+
+
+def test_local_branch(cifar_root, tmp_path):
+    """model=local: train+test per client, no aggregation, single round
+    (federated_main.py:728-773)."""
+    args = _args(
+        model="local", trainer="PromptFL", round=5, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "loc"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-vit",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1  # breaks after one round
