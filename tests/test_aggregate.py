@@ -74,3 +74,17 @@ def test_ema_shared_half_s_applied_before_blend():
     bd = 0.999 * 10 / 50
     expect = (1 - bd) * shared_half_s_transform(avg["blocks.mlp.c_fc.lora_S"]) + bd * g["blocks.mlp.c_fc.lora_S"]
     np.testing.assert_allclose(out["blocks.mlp.c_fc.lora_S"], expect, rtol=1e-5)
+
+
+def test_sample_clients_round0_and_frac():
+    """federated_main.py:606-613: round 0 trains everyone, later rounds draw
+    max(int(frac*n),1) without replacement; explicit train list wins."""
+    import numpy as np
+    from fairfedmed_tpu.fed import sample_clients
+
+    assert sample_clients(5, 0.4, epoch=0) == [0, 1, 2, 3, 4]
+    np.random.seed(0)
+    picked = sample_clients(5, 0.4, epoch=3)
+    assert len(picked) == 2 and len(set(picked)) == 2
+    assert sample_clients(5, 0.0, epoch=3) != []  # at least one client
+    assert sample_clients(5, 0.4, epoch=3, idxs_users_train=[2, 4]) == [2, 4]
