@@ -82,7 +82,11 @@ def init_lora(
     elif lora_type == "FairLoRA":
         params["lora_S"] = _s_init(rank, num_groups, s_init, dtype)
     if global_s and lora_type in ("SVLoRA", "FairLoRA"):
-        params["lora_S_global"] = jnp.linspace(1.0, 0.1, rank, dtype=jnp.float32).astype(dtype)
+        # [1, rank] like the reference's nn.Embedding(1, rank)
+        # (GLP_OT_SVLoRA.py:419-421) — a bare [rank] vector would satisfy the
+        # group-FedAvg predicate ('lora_S' in key and shape[0]==num_groups)
+        # whenever rank equals the group count and get silently group-weighted
+        params["lora_S_global"] = jnp.linspace(1.0, 0.1, rank, dtype=jnp.float32).astype(dtype)[None]
     return params
 
 
@@ -125,7 +129,7 @@ def effective_s(lora: dict, attr_mix: Optional[jnp.ndarray], batch: int) -> Opti
         # NOTE: the reference adds torch.diag(lora_S_global.weight) of a [1,r]
         # matrix — a degenerate broadcast.  We implement the intended semantics:
         # the global singular values add to the per-sample ones.
-        s = s + lora["lora_S_global"][None].astype(s.dtype)
+        s = s + lora["lora_S_global"].reshape(1, -1).astype(s.dtype)
     return s
 
 
@@ -168,6 +172,9 @@ def materialized_weight(
         mix = jax.nn.one_hot(attr, num_groups, dtype=jnp.float32)
     a = lora["lora_A"].astype(jnp.float32)  # [in, r]
     b = lora["lora_B"].astype(jnp.float32)  # [r, out]
-    s = effective_s({**lora, "lora_S": lora["lora_S"]}, mix, batch)  # [B, r]
+    if "lora_S" in lora:
+        s = effective_s(lora, mix, batch)  # [B, r]
+    else:  # plain LoRA: unit singular values
+        s = jnp.ones((batch, a.shape[1]), jnp.float32)
     dw = jnp.einsum("ir,br,ro->boi", a, s.astype(jnp.float32), b) * scaling
     return base_weight[None].astype(jnp.float32) + dw

@@ -83,13 +83,18 @@ class FairFedMedDataset:
     # ---------------------------------------------------------------- index
     def _load_or_build_index(self, csv_path, filenames, use_cache):
         cache_path = csv_path + ".index.json"
+        keys = set(self.attributes) | ({self.attribute_type} if self.attribute_type else set())
         if use_cache and os.path.exists(cache_path):
             with open(cache_path) as f:
                 cached = json.load(f)
-            if set(filenames).issubset(cached):
-                return cached
+            # the cache must cover both the files AND the attribute keys it
+            # was built with — a narrower earlier --attributes run would
+            # otherwise silently serve -1 for every new attribute
+            cached_keys = set(cached.get("__attr_keys__", []))
+            entries = {k: v for k, v in cached.items() if k != "__attr_keys__"}
+            if set(filenames).issubset(entries) and keys.issubset(cached_keys):
+                return entries
         index = {}
-        keys = set(self.attributes) | ({self.attribute_type} if self.attribute_type else set())
         for fname in filenames:
             raw = np.load(os.path.join(self.data_path, fname), allow_pickle=True)
             attrs = {k: int(raw[k]) for k in keys if k in raw}
@@ -104,7 +109,7 @@ class FairFedMedDataset:
         if use_cache:
             try:
                 with open(cache_path, "w") as f:
-                    json.dump(index, f)
+                    json.dump({**index, "__attr_keys__": sorted(keys)}, f)
             except OSError:
                 pass
         return index

@@ -11,9 +11,9 @@ compiles ONE train-step program (value_and_grad → optax update, with on-device
 preprocessing fused into the forward); the 3D-OCT slice split is a batch-axis
 reshape inside the same jitted function (SURVEY §5 long-context note).
 The transport plan is a ``lax.while_loop`` under stop_gradient; an invalid
-(NaN) plan zeroes the parameter update instead of aborting the step
-(GLP_OT_SVLoRA.py:738-743 returns None — same effect: no learning from that
-batch).
+(NaN) plan skips the whole optimizer step — parameters, momentum and weight
+decay all stay untouched (GLP_OT_SVLoRA.py:738-743 returns None and never
+steps).
 """
 
 from __future__ import annotations
@@ -140,7 +140,12 @@ class GLPOTBase(TrainerX):
         self.backbone_type = bundle.backbone_type
         self.stats = bundle.visual_stats if bundle.backbone_type == "resnet" else {}
         if bundle.backbone_type == "resnet":
-            trainable["visual_bn"] = bundle.visual_bn
+            # only GLP_OT_SVLoRA unfreezes BatchNorms (GLP_OT_SVLoRA.py:825-827);
+            # plain GLP_OT keeps BN affine frozen (GLP_OT.py:416-429)
+            if self.use_lora:
+                trainable["visual_bn"] = bundle.visual_bn
+            else:
+                bundle.params["visual_bn"] = bundle.visual_bn
 
         self.lora_scaling = 0.0
         if self.use_lora and cfg.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER:
@@ -207,6 +212,9 @@ class GLPOTBase(TrainerX):
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+        # start at the schedule's epoch-0 LR (warmup): the injected optimizer
+        # LR otherwise stays at base OPTIM.LR for the whole first epoch
+        self.opt_state = set_learning_rate(self.opt_state, self.lr_sched.lr(0))
 
         self._compile_steps()
 
@@ -270,7 +278,8 @@ class GLPOTBase(TrainerX):
             from ...models.resnet_clip import resnet_encode
 
             tokens, new_stats = resnet_encode(
-                frozen["visual"], trainable["visual_bn"], stats, x,
+                frozen["visual"],
+                trainable.get("visual_bn", frozen.get("visual_bn")), stats, x,
                 self.bundle.rn_cfg, policy, train=train, return_tokens=True,
                 lora=lora, attnpool_lora=trainable.get("attnpool_lora"),
                 attr_mix=attr_mix, lora_scaling=self.lora_scaling,
@@ -306,7 +315,9 @@ class GLPOTBase(TrainerX):
             sim_op = (T * sim).sum((1, 2))
         elif cfg_t.OT == "COT":
             xx = jnp.full((sim.shape[0], M), 1.0 / M, jnp.float32)
-            top_percent = min(1.0, cfg_t.TOP_PERCENT)
+            # reference caps at sum(xx) = number of rows, NOT at 1.0
+            # (torch.sum of a [rows, M] tensor of 1/M entries, :726)
+            top_percent = min(float(sim.shape[0]), cfg_t.TOP_PERCENT)
             yy = jnp.full((sim.shape[0], self.N), 1.0 / self.N, jnp.float32) * top_percent
             KK = jnp.exp(-wdist / cfg_t.EPS)
             T, valid = entropic_cot(KK, xx, yy, max_iter=cfg_t.MAX_ITER, thresh=cfg_t.THRESH)
@@ -346,12 +357,19 @@ class GLPOTBase(TrainerX):
         def train_step(trainable, opt_state, stats, frozen, image, label, attr, ctx_global, mu):
             (loss, (logits, valid, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, frozen, stats, image, label, attr, ctx_global, mu)
-            scale = valid.astype(jnp.float32)
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-            updates, opt_state = self.tx.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
+            updates, new_opt_state = self.tx.update(grads, opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            # an invalid (NaN) OT plan skips the WHOLE optimizer step — the
+            # reference returns None from forward and never steps
+            # (GLP_OT_SVLoRA.py:738-743); selecting only the grads would
+            # still let weight decay and momentum mutate every parameter
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            trainable = keep(new_trainable, trainable)
+            opt_state = keep(new_opt_state, opt_state)
             metrics = {
                 "loss": jnp.where(valid, loss, jnp.nan),
+                "valid": valid,
                 "acc": accuracy_from_logits(logits, label),
                 "probs": jax.nn.softmax(logits, -1),
             }
@@ -380,7 +398,11 @@ class GLPOTBase(TrainerX):
             image, label, tgt_attr, ctx_global, jnp.float32(mu))
 
         loss = float(metrics["loss"])
-        self.detect_anomaly(loss) if np.isfinite(loss) else None
+        if bool(metrics["valid"]):
+            # genuine NaN/Inf divergence raises like the reference's
+            # detect_anomaly (trainer.py:260-262); an invalid OT plan is the
+            # only sanctioned NaN (its step was skipped above)
+            self.detect_anomaly(loss)
         loss_summary = {"loss": loss, "acc": float(metrics["acc"])}
 
         if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
@@ -472,7 +494,8 @@ class GLPOTBase(TrainerX):
             # the federated state, as in save_model_with_grad (trainer.py:177-186)
             from ...core.pytree import flatten_paths
 
-            for k, v in flatten_paths(self.trainable["visual_bn"]).items():
+            bn_tree = self.trainable.get("visual_bn", self.frozen.get("visual_bn", {}))
+            for k, v in flatten_paths(bn_tree).items():
                 out[f"image_encoder.{k}"] = np.asarray(v, np.float32)
             for k, v in flatten_paths(self.stats).items():
                 suffix = "running_mean" if k.endswith(".mean") else "running_var"

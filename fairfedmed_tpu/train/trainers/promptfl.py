@@ -58,6 +58,9 @@ class _CosineCLIPTrainer(TrainerX):
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+        # start at the schedule's epoch-0 LR (warmup): the injected optimizer
+        # LR otherwise stays at base OPTIM.LR for the whole first epoch
+        self.opt_state = set_learning_rate(self.opt_state, self.lr_sched.lr(0))
         self._compile()
 
     def _device_preprocess(self, image):
@@ -75,7 +78,18 @@ class _CosineCLIPTrainer(TrainerX):
 
     def _forward(self, trainable, frozen, image):
         x = self._device_preprocess(image)
-        pooled = vit_encode(frozen["visual"], x, self.bundle.clip_cfg, self.policy)
+        if self.bundle.backbone_type == "resnet":
+            # RN50 CLIP path (the reference's CustomCLIP uses clip_model.visual
+            # generically, clip/model.py:574-580); BN runs in inference mode
+            # here — PromptFL/CLIP freeze the image encoder entirely
+            from ...models.resnet_clip import resnet_encode
+
+            pooled, _ = resnet_encode(
+                frozen["visual"], self.bundle.visual_bn,
+                self.bundle.visual_stats, x, self.bundle.rn_cfg, self.policy,
+                train=False, return_tokens=False)
+        else:
+            pooled = vit_encode(frozen["visual"], x, self.bundle.clip_cfg, self.policy)
         pooled = l2_normalize(pooled)
         ctx = trainable["prompt_learner"]["ctx"].astype(self.policy.compute_dtype)
         prompts = assemble_prompts(ctx, self.prompt_state)
@@ -201,6 +215,9 @@ class Baseline(TrainerX):
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+        # start at the schedule's epoch-0 LR (warmup): the injected optimizer
+        # LR otherwise stays at base OPTIM.LR for the whole first epoch
+        self.opt_state = set_learning_rate(self.opt_state, self.lr_sched.lr(0))
 
         def forward(t, image):
             x = image.astype(jnp.float32)

@@ -303,3 +303,18 @@ def test_local_branch(cifar_root, tmp_path):
     )
     out = federated_main.main(args)
     assert len(out["acc"]) == 1  # breaks after one round
+
+
+def test_promptfl_resnet_backbone(cifar_root, tmp_path):
+    """PromptFL with a ResNet CLIP backbone must route through resnet_encode
+    (regression: it crashed on visual['conv1'] KeyError)."""
+    args = _args(
+        model="fedavg", trainer="PromptFL", round=1, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "rn"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-rn",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
