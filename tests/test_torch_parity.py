@@ -173,3 +173,121 @@ def test_fairlora_delta_matches_torch_diag_formulation():
     mix_j = group_mix(jnp.asarray(attr.astype(np.int32)), G, B, jnp.float32)
     ours = np.asarray(lora_delta(lora, jnp.asarray(x), mix_j, scaling))
     np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def _make_rn_sd(cfg_rn, rng):
+    """Synthetic ModifiedResNet state_dict with the reference key names."""
+    sd = {}
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.1
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.abs(r(c)) + 0.5
+        sd[f"{prefix}.bias"] = r(c)
+        sd[f"{prefix}.running_mean"] = r(c)
+        sd[f"{prefix}.running_var"] = np.abs(r(c)) + 0.5
+
+    w = cfg_rn.width
+    sd["visual.conv1.weight"] = r(w // 2, 3, 3, 3)
+    add_bn("visual.bn1", w // 2)
+    sd["visual.conv2.weight"] = r(w // 2, w // 2, 3, 3)
+    add_bn("visual.bn2", w // 2)
+    sd["visual.conv3.weight"] = r(w, w // 2, 3, 3)
+    add_bn("visual.bn3", w)
+    inplanes = w
+    for li, nblocks in enumerate(cfg_rn.layers):
+        planes = w * (2 ** li)
+        for bi in range(nblocks):
+            pre = f"visual.layer{li + 1}.{bi}"
+            sd[f"{pre}.conv1.weight"] = r(planes, inplanes, 1, 1)
+            add_bn(f"{pre}.bn1", planes)
+            sd[f"{pre}.conv2.weight"] = r(planes, planes, 3, 3)
+            add_bn(f"{pre}.bn2", planes)
+            sd[f"{pre}.conv3.weight"] = r(planes * 4, planes, 1, 1)
+            add_bn(f"{pre}.bn3", planes * 4)
+            stride = 2 if (li > 0 and bi == 0) else 1
+            if stride > 1 or inplanes != planes * 4:
+                sd[f"{pre}.downsample.0.weight"] = r(planes * 4, inplanes, 1, 1)
+                add_bn(f"{pre}.downsample.1", planes * 4)
+            inplanes = planes * 4
+    ed = cfg_rn.embed_dim
+    spacial = cfg_rn.input_resolution // 32
+    sd["visual.attnpool.positional_embedding"] = r(spacial ** 2 + 1, ed)
+    for name, dout in (("q_proj", ed), ("k_proj", ed), ("v_proj", ed),
+                       ("c_proj", cfg_rn.output_dim)):
+        sd[f"visual.attnpool.{name}.weight"] = r(dout, ed)
+        sd[f"visual.attnpool.{name}.bias"] = r(dout)
+    return sd
+
+
+def _torch_rn_forward(sd, cfg_rn, image):
+    """Reference ModifiedResNet in torch functional form
+    (clip/model.py:11-60,63-118,168-225)."""
+    F = torch.nn.functional
+    g = lambda k: torch.from_numpy(np.asarray(sd[f"visual.{k}"]))
+
+    def bn(x, prefix):
+        return F.batch_norm(x, g(f"{prefix}.running_mean"), g(f"{prefix}.running_var"),
+                            g(f"{prefix}.weight"), g(f"{prefix}.bias"), False)
+
+    x = torch.from_numpy(image)
+    x = F.relu(bn(F.conv2d(x, g("conv1.weight"), stride=2, padding=1), "bn1"))
+    x = F.relu(bn(F.conv2d(x, g("conv2.weight"), padding=1), "bn2"))
+    x = F.relu(bn(F.conv2d(x, g("conv3.weight"), padding=1), "bn3"))
+    x = F.avg_pool2d(x, 2)
+    inplanes = cfg_rn.width
+    for li, nblocks in enumerate(cfg_rn.layers):
+        planes = cfg_rn.width * (2 ** li)
+        for bi in range(nblocks):
+            pre = f"layer{li + 1}.{bi}"
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out = F.relu(bn(F.conv2d(x, g(f"{pre}.conv1.weight")), f"{pre}.bn1"))
+            out = F.relu(bn(F.conv2d(out, g(f"{pre}.conv2.weight"), padding=1), f"{pre}.bn2"))
+            if stride > 1:
+                out = F.avg_pool2d(out, stride)
+            out = bn(F.conv2d(out, g(f"{pre}.conv3.weight")), f"{pre}.bn3")
+            if f"visual.{pre}.downsample.0.weight" in sd:
+                identity = x if stride == 1 else F.avg_pool2d(x, stride)
+                identity = bn(F.conv2d(identity, g(f"{pre}.downsample.0.weight")),
+                              f"{pre}.downsample.1")
+            else:
+                identity = x
+            x = F.relu(out + identity)
+            inplanes = planes * 4
+    # attention pool
+    B, C, H, W = x.shape
+    t = x.reshape(B, C, H * W).permute(2, 0, 1)
+    t = torch.cat([t.mean(dim=0, keepdim=True), t], dim=0)
+    t = t + g("attnpool.positional_embedding")[:, None, :]
+    out, _ = F.multi_head_attention_forward(
+        query=t, key=t, value=t, embed_dim_to_check=t.shape[-1],
+        num_heads=cfg_rn.heads,
+        q_proj_weight=g("attnpool.q_proj.weight"),
+        k_proj_weight=g("attnpool.k_proj.weight"),
+        v_proj_weight=g("attnpool.v_proj.weight"),
+        in_proj_weight=None,
+        in_proj_bias=torch.cat([g("attnpool.q_proj.bias"),
+                                g("attnpool.k_proj.bias"),
+                                g("attnpool.v_proj.bias")]),
+        bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+        out_proj_weight=g("attnpool.c_proj.weight"),
+        out_proj_bias=g("attnpool.c_proj.bias"),
+        use_separate_proj_weight=True, training=False, need_weights=False)
+    return out[0].numpy()  # pooled CLS token [B, out]
+
+
+def test_modified_resnet_matches_torch():
+    import jax.numpy as jnp
+    from fairfedmed_tpu.core.precision import policy_from_prec
+    from fairfedmed_tpu.models.resnet_clip import (
+        RN_PRESETS, convert_resnet_visual, resnet_encode,
+    )
+
+    cfg_rn = RN_PRESETS["test-rn"]
+    rng = np.random.default_rng(11)
+    sd = _make_rn_sd(cfg_rn, rng)
+    image = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ref = _torch_rn_forward(sd, cfg_rn, image)
+    params, bn, stats = convert_resnet_visual(sd, cfg_rn)
+    ours, _ = resnet_encode(params, bn, stats, jnp.asarray(image), cfg_rn,
+                            policy_from_prec("fp32"), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=1e-3)
