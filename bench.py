@@ -10,6 +10,10 @@ measured-class throughput for this exact model/batch on its single-GPU setup
 (the repo publishes no timing numbers, SURVEY §6; this constant is our
 documented estimate for a V100-class card running the reference eagerly:
 ~175 img/s for ViT-B/16 fp16 train-step at batch 32 with per-step host syncs).
+Set ``BENCH_MODE=round`` to instead time one full federated round through
+the CLI machinery (synthetic FairFedMed fixture, 2 clients, data loading +
+train + eval + aggregation) and report images/sec/chip at round level — the
+BASELINE.md north-star unit.
 """
 
 from __future__ import annotations
@@ -75,5 +79,55 @@ def main():
     }))
 
 
+def main_round():
+    """One federated FairLoRA round end-to-end (loading+train+eval+agg)."""
+    import os
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fixtures import make_fairfedmed_fixture
+    import federated_main
+
+    work = tempfile.mkdtemp(prefix="benchround_")
+    try:
+        n_train, n_test, users = 64, 16, 2
+        make_fairfedmed_fixture(work, n_sites=users, n_train=n_train,
+                                n_test=n_test, size=224)
+        parser = federated_main.build_arg_parser()
+        args = parser.parse_args([])
+        args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
+                     "SEED", "1", "TEST.EVALUATOR", "Classification_oph"]
+        for k, v in dict(
+            model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=2, num_users=users,
+            frac=1.0, root=work, output_dir=os.path.join(work, "out"),
+            train_batch_size=32, test_batch_size=32, n_ctx=4, num_prompt=2,
+            avg_prompt=1, OT="None", backbone="ViT-B/16", attribute_type="race",
+            attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+            modality_type="slo_fundus", unfreeze_image_encoder=True,
+            lora_rank=12, lora_alpha=2.0, lora_type="FairLoRA",
+            config_file="", dataset_config_file="",
+        ).items():
+            setattr(args, k, v)
+        out = federated_main.main(args)
+        # round 0 pays all compiles; round 1 is the steady-state measurement
+        steady = out["time"][1] - out["time"][0]
+        imgs = users * (n_train + n_test)  # train + eval images per round
+        print(json.dumps({
+            "metric": "fairlora_vitb16_fed_round_imgs_per_sec_per_chip",
+            "value": round(imgs / steady, 2),
+            "unit": "images/sec/chip (full round: load+train+eval+agg)",
+            "vs_baseline": round((imgs / steady) / REF_GPU_IMGS_PER_SEC, 3),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("BENCH_MODE") == "round":
+        main_round()
+    else:
+        main()

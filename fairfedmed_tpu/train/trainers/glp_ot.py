@@ -367,12 +367,14 @@ class GLPOTBase(TrainerX):
                 lambda a, b: jnp.where(valid, a, b), new, old)
             trainable = keep(new_trainable, trainable)
             opt_state = keep(new_opt_state, opt_state)
-            metrics = {
-                "loss": jnp.where(valid, loss, jnp.nan),
-                "valid": valid,
-                "acc": accuracy_from_logits(logits, label),
-                "probs": jax.nn.softmax(logits, -1),
-            }
+            # metrics packed into ONE array so the host needs a single
+            # fetch per step: [loss, valid, acc, probs.ravel()]
+            metrics = jnp.concatenate([
+                jnp.stack([jnp.where(valid, loss, jnp.nan),
+                           valid.astype(jnp.float32),
+                           accuracy_from_logits(logits, label)]),
+                jax.nn.softmax(logits.astype(jnp.float32), -1).ravel(),
+            ])
             return trainable, opt_state, new_stats, metrics
 
         def infer(trainable, frozen, stats, image, attr):
@@ -397,16 +399,17 @@ class GLPOTBase(TrainerX):
             self.trainable, self.opt_state, self.stats, self.frozen,
             image, label, tgt_attr, ctx_global, jnp.float32(mu))
 
-        loss = float(metrics["loss"])
-        if bool(metrics["valid"]):
+        m = np.asarray(metrics)  # single host fetch: [loss, valid, acc, probs...]
+        loss, valid, acc = float(m[0]), bool(m[1]), float(m[2])
+        if valid:
             # genuine NaN/Inf divergence raises like the reference's
             # detect_anomaly (trainer.py:260-262); an invalid OT plan is the
             # only sanctioned NaN (its step was skipped above)
             self.detect_anomaly(loss)
-        loss_summary = {"loss": loss, "acc": float(metrics["acc"])}
+        loss_summary = {"loss": loss, "acc": acc}
 
         if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
-            probs = np.asarray(metrics["probs"], np.float32)
+            probs = m[3:].reshape(-1, self.n_cls)
             label_h = np.asarray(label)
             if len(set(label_h.tolist())) == 1:
                 loss_summary["auc"] = 1
@@ -458,48 +461,61 @@ class GLPOTBase(TrainerX):
         predicate (`'lora_S' in key and shape[0]==n_groups`, fed_utils.py:29)
         applies verbatim.
         """
-        out = {"prompt_learner.ctx": np.asarray(self.trainable["prompt_learner"]["ctx"], np.float32)}
+        from ...core.pytree import flatten_paths, pack_named_arrays, unpack_named_arrays
+
+        # 1) collect DEVICE arrays under internal names (stacked lora stays
+        #    stacked — unstacking happens on host after the single pull)
+        dev = {"prompt_learner.ctx": self.trainable["prompt_learner"]["ctx"]}
         if "visual_ln_pre" in self.trainable:
-            out["image_encoder.ln_pre.weight"] = np.asarray(self.trainable["visual_ln_pre"]["weight"], np.float32)
-            out["image_encoder.ln_pre.bias"] = np.asarray(self.trainable["visual_ln_pre"]["bias"], np.float32)
+            dev["image_encoder.ln_pre.weight"] = self.trainable["visual_ln_pre"]["weight"]
+            dev["image_encoder.ln_pre.bias"] = self.trainable["visual_ln_pre"]["bias"]
         if "text_ln_final" in self.trainable:
-            out["text_encoder.ln_final.weight"] = np.asarray(self.trainable["text_ln_final"]["weight"], np.float32)
-            out["text_encoder.ln_final.bias"] = np.asarray(self.trainable["text_ln_final"]["bias"], np.float32)
+            dev["text_encoder.ln_final.weight"] = self.trainable["text_ln_final"]["weight"]
+            dev["text_encoder.ln_final.bias"] = self.trainable["text_ln_final"]["bias"]
         if "proj_per_3d_slice" in self.trainable:
-            p = self.trainable["proj_per_3d_slice"]
-            out["proj_per_3d_slice.weight"] = np.asarray(p["weight"], np.float32)
-            out["proj_per_3d_slice.bias"] = np.asarray(p["bias"], np.float32)
+            dev["proj_per_3d_slice.weight"] = self.trainable["proj_per_3d_slice"]["weight"]
+            dev["proj_per_3d_slice.bias"] = self.trainable["proj_per_3d_slice"]["bias"]
         lora = self.trainable.get("image_encoder_lora")
         if lora is not None and self.backbone_type == "vit":
             for part in ("c_fc", "c_proj"):
                 for leaf, arr in lora[part].items():
-                    arr = np.asarray(arr, np.float32)
-                    for i in range(arr.shape[0]):
-                        key = f"image_encoder.transformer.resblocks.{i}.mlp.{part}.{leaf}.weight"
-                        out[key] = arr[i]
+                    dev[f"__stacked_lora__.{part}.{leaf}"] = arr
         elif lora is not None:  # resnet
             for lname, blocks in lora.items():
                 for bi, block in enumerate(blocks):
                     for conv, leaves in block.items():
                         for leaf, arr in leaves.items():
-                            out[f"image_encoder.{lname}.{bi}.{conv}.{leaf}.weight"] = \
-                                np.asarray(arr, np.float32)
+                            dev[f"image_encoder.{lname}.{bi}.{conv}.{leaf}.weight"] = arr
         ap_lora = self.trainable.get("attnpool_lora")
         if ap_lora is not None:
             for name, leaves in ap_lora.items():
                 for leaf, arr in leaves.items():
-                    out[f"image_encoder.attnpool.{name}.{leaf}.weight"] = np.asarray(arr, np.float32)
+                    dev[f"image_encoder.attnpool.{name}.{leaf}.weight"] = arr
         if self.backbone_type == "resnet":
             # BN affine (trainable) + running stats (buffers) both travel in
             # the federated state, as in save_model_with_grad (trainer.py:177-186)
-            from ...core.pytree import flatten_paths
-
             bn_tree = self.trainable.get("visual_bn", self.frozen.get("visual_bn", {}))
             for k, v in flatten_paths(bn_tree).items():
-                out[f"image_encoder.{k}"] = np.asarray(v, np.float32)
+                dev[f"image_encoder.{k}"] = v
             for k, v in flatten_paths(self.stats).items():
                 suffix = "running_mean" if k.endswith(".mean") else "running_var"
-                out[f"image_encoder.{k.rsplit('.', 1)[0]}.{suffix}"] = np.asarray(v, np.float32)
+                dev[f"image_encoder.{k.rsplit('.', 1)[0]}.{suffix}"] = v
+
+        # 2) ONE device→host transfer for the whole state (a pull per leaf is
+        #    a blocking round-trip each — the dominant cost of a federated
+        #    round on a remote-TPU attachment)
+        flat, meta = pack_named_arrays(dev)
+        host = unpack_named_arrays(flat, meta)
+
+        # 3) expand internal names to reference-style keys
+        out = {}
+        for key, arr in host.items():
+            if key.startswith("__stacked_lora__."):
+                _, part, leaf = key.split(".", 2)
+                for i in range(arr.shape[0]):
+                    out[f"image_encoder.transformer.resblocks.{i}.mlp.{part}.{leaf}.weight"] = arr[i]
+            else:
+                out[key] = arr
         return out
 
     def load_state_dict(self, state, strict=False):
