@@ -90,33 +90,20 @@ def tree_to_numpy(tree: Any) -> Any:
 # Packing flattens every leaf into ONE fp32 buffer on device, so a state_dict
 # pull or push is a single transfer.
 
-_PACK_CACHE: dict = {}
-
-
-def _pack_fn(n_leaves: int):
-    import jax
+@jax.jit
+def _pack(*leaves):
     import jax.numpy as jnp
 
-    fn = _PACK_CACHE.get(("pack", n_leaves))
-    if fn is None:
-        def pack(*leaves):
-            return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
-
-        fn = jax.jit(pack)
-        _PACK_CACHE[("pack", n_leaves)] = fn
-    return fn
+    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
 
 
 def pack_named_arrays(dev_dict: Mapping[str, Any]):
     """Device dict {name: array} → (np.ndarray flat fp32, meta).
 
     meta is [(name, shape, dtype, offset, size)] for host-side unpacking."""
-    import numpy as np
-
     names = list(dev_dict)
     leaves = [dev_dict[k] for k in names]
-    packed = _pack_fn(len(leaves))(*leaves)
-    flat = np.asarray(packed)  # ONE transfer
+    flat = np.asarray(_pack(*leaves))  # ONE transfer
     meta, off = [], 0
     for name, leaf in zip(names, leaves):
         size = int(np.prod(leaf.shape)) if leaf.shape else 1
@@ -127,8 +114,6 @@ def pack_named_arrays(dev_dict: Mapping[str, Any]):
 
 def unpack_named_arrays(flat, meta) -> dict:
     """Host-side inverse of pack_named_arrays (stays numpy/fp32)."""
-    import numpy as np
-
     out = {}
     for name, shape, _dtype, off, size in meta:
         out[name] = np.asarray(flat[off : off + size], np.float32).reshape(shape)
