@@ -113,8 +113,9 @@ class _CosineCLIPTrainer(TrainerX):
                 trainable, frozen, image, label, ctx_global, mu)
             updates, opt_state = self.tx.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, {
-                "loss": loss, "acc": accuracy_from_logits(logits, label)}
+            # [loss, acc] packed: one host fetch per step
+            return trainable, opt_state, jnp.stack(
+                [loss, accuracy_from_logits(logits, label)])
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._infer = jax.jit(lambda t, f, img: self._forward(t, f, img))
@@ -126,12 +127,13 @@ class _CosineCLIPTrainer(TrainerX):
         self.trainable, self.opt_state, metrics = self._train_step(
             self.trainable, self.opt_state, self.frozen, image, label,
             ctx_global, jnp.float32(mu))
-        loss = float(metrics["loss"])
+        m = np.asarray(metrics)
+        loss = float(m[0])
         self.detect_anomaly(loss)
         if (self.batch_idx + 1) == self.num_batches:
             self.update_lr()
             self.opt_state = set_learning_rate(self.opt_state, self.get_current_lr())
-        return {"loss": loss, "acc": float(metrics["acc"])}
+        return {"loss": loss, "acc": float(m[1])}
 
     def parse_batch_train(self, batch):
         return jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
