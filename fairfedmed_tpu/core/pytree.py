@@ -113,8 +113,11 @@ def pack_named_arrays(dev_dict: Mapping[str, Any]):
 
 
 def unpack_named_arrays(flat, meta) -> dict:
-    """Host-side inverse of pack_named_arrays (stays numpy/fp32)."""
+    """Host-side inverse of pack_named_arrays (independent numpy/fp32 copies).
+
+    Copies rather than views: state_dict consumers mutate entries in place
+    and must not alias each other (or pin the whole packed buffer)."""
     out = {}
     for name, shape, _dtype, off, size in meta:
-        out[name] = np.asarray(flat[off : off + size], np.float32).reshape(shape)
+        out[name] = np.array(flat[off : off + size], np.float32).reshape(shape)
     return out

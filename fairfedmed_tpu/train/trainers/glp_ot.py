@@ -582,7 +582,12 @@ class GLPOTBase(TrainerX):
         if self.backbone_type == "resnet":
             from ...core.pytree import flatten_paths, unflatten_paths
 
-            bn_flat = flatten_paths(t["visual_bn"])
+            # BN affine lives in the trainable tree for SVLoRA, in frozen for
+            # plain GLP_OT (reference freezes it there, GLP_OT.py:416-429) —
+            # load into whichever holds it
+            bn_trainable = "visual_bn" in t
+            bn_tree = t["visual_bn"] if bn_trainable else self.frozen["visual_bn"]
+            bn_flat = flatten_paths(bn_tree)
             for k in list(bn_flat):
                 sk = f"image_encoder.{k}"
                 if sk in state:
@@ -596,7 +601,11 @@ class GLPOTBase(TrainerX):
                     stats_flat[k] = jnp.asarray(state[sk], jnp.float32)
             new_stats = unflatten_paths(stats_flat)
             # unflatten rebuilds dicts; restore list-of-blocks structure
-            t["visual_bn"] = _redictify_like(t["visual_bn"], new_bn)
+            if bn_trainable:
+                t["visual_bn"] = _redictify_like(t["visual_bn"], new_bn)
+            else:
+                self.frozen["visual_bn"] = _redictify_like(
+                    self.frozen["visual_bn"], new_bn)
             self.stats = _redictify_like(self.stats, new_stats)
         self.trainable = t
 

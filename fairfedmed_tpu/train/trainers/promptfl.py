@@ -54,6 +54,12 @@ class _CosineCLIPTrainer(TrainerX):
         )
         self.trainable = {"prompt_learner": pl_params}
         self.frozen = bundle.params
+        if bundle.backbone_type == "resnet":
+            # BN trees ride the frozen pytree as jit ARGUMENTS — closing over
+            # device arrays embeds them as MLIR constants and forces a host
+            # materialization per trace (see CLAUDE.md / clip_model.py)
+            self.frozen["visual_bn"] = bundle.visual_bn
+            self.frozen["visual_stats"] = bundle.visual_stats
 
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
@@ -85,8 +91,8 @@ class _CosineCLIPTrainer(TrainerX):
             from ...models.resnet_clip import resnet_encode
 
             pooled, _ = resnet_encode(
-                frozen["visual"], self.bundle.visual_bn,
-                self.bundle.visual_stats, x, self.bundle.rn_cfg, self.policy,
+                frozen["visual"], frozen["visual_bn"], frozen["visual_stats"],
+                x, self.bundle.rn_cfg, self.policy,
                 train=False, return_tokens=False)
         else:
             pooled = vit_encode(frozen["visual"], x, self.bundle.clip_cfg, self.policy)

@@ -318,3 +318,51 @@ def test_promptfl_resnet_backbone(cifar_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+
+
+def test_glpot_resnet_no_lora(cifar_root, tmp_path):
+    """Plain GLP_OT on a ResNet backbone: BN lives in the frozen tree and
+    load_state_dict must route BN values there (regression: KeyError
+    'visual_bn' at round start)."""
+    args = _args(
+        model="FedOTP", trainer="GLP_OT", round=1, num_users=2, frac=1.0,
+        partition="homo", root=cifar_root, output_dir=str(tmp_path / "rngl"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-rn",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])
+
+
+def test_state_dict_entries_are_independent(fairfedmed_root, tmp_path):
+    """state_dict arrays must be independent copies, not views of one packed
+    buffer (consumers mutate entries in place)."""
+    from fairfedmed_tpu.config import get_cfg_default
+    from fairfedmed_tpu.train import build_trainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = fairfedmed_root
+    cfg.DATASET.NAME = "FairFedMed"
+    cfg.DATASET.USERS = 1
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = "GLP_OT_SVLoRA"
+    cfg.TRAINER.GLP_OT.N_CTX = 4
+    cfg.TRAINER.GLP_OT.OT = "None"
+    cfg.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER = True
+    cfg.TRAINER.GLP_OT_LORA.TYPE = "FairLoRA"
+    cfg.MODEL.BACKBONE.NAME = "test-vit"
+    cfg.OUTPUT_DIR = str(tmp_path / "sdview")
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.TEST.EVALUATOR = "Classification_oph"
+    cfg.SEED = 1
+    trainer = build_trainer(cfg)
+    sd = trainer.state_dict()
+    keys = list(sd)
+    before = {k: sd[k].copy() for k in keys[1:3]}
+    sd[keys[0]][...] = 777.0  # in-place mutation of one entry
+    for k, v in before.items():
+        np.testing.assert_array_equal(sd[k], v)
