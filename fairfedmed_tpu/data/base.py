@@ -151,6 +151,10 @@ def generate_federated_fewshot_dataset(
     """
     if num_shots < 1:
         return [list(data_source) for _ in range(num_users)]
+    # the reference reseeds the GLOBAL stream before sampling
+    # (base_dataset.py:262 random.seed(2023)), making the per-client image
+    # picks themselves fixed across runs — reproduce for split-level parity
+    random.seed(2023)
     tracker = split_dataset_by_label(data_source)
     class_num = len({d.label for d in data_source})
     user_classes, class_repeat = assign_classes_to_users(
@@ -188,6 +192,7 @@ def generate_federated_dataset(
     samples of its assigned classes; shared (repeat) classes are dealt in
     disjoint per-client slices like iid.
     """
+    random.seed(2023)  # fixed sample order, as in base_dataset.py:368
     tracker = split_dataset_by_label(data_source)
     class_num = len({d.label for d in data_source})
     user_classes, class_repeat = assign_classes_to_users(

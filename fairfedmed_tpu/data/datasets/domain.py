@@ -37,13 +37,20 @@ def dirichlet_partition_pair(train_labels: np.ndarray, test_labels: np.ndarray,
     stops over-full parties receiving more)."""
     n_train = len(train_labels)
     min_size = 0
+    attempt = 0
     while min_size < min_require_size:
+        attempt += 1
         idx_train: List[List[int]] = [[] for _ in range(n_parties)]
         idx_test: List[List[int]] = [[] for _ in range(n_parties)]
         for k in range(num_classes):
             train_idx_k = np.where(train_labels == k)[0]
             test_idx_k = np.where(test_labels == k)[0]
-            np.random.seed(0)
+            if attempt == 1:
+                # reference resets the seed per class (data_utils.py:877);
+                # with the seed reset, a failed first pass would repeat
+                # IDENTICALLY forever — later attempts draw fresh randomness
+                # (documented deviation that only changes the would-hang case)
+                np.random.seed(0)
             np.random.shuffle(train_idx_k)
             np.random.shuffle(test_idx_k)
             proportions = np.random.dirichlet(np.repeat(beta, n_parties))

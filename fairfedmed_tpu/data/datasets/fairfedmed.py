@@ -70,6 +70,12 @@ class FairFedMedDataset:
         needed = self._MODALITY_MEMBERS.get(modality_type, (modality_type,))
         for fname in filenames:
             meta = index[fname]
+            if attribute_type and attribute_type not in meta["attrs"]:
+                # the reference raises KeyError on raw_data[attribute_type];
+                # defaulting would silently mis-bucket demographics
+                raise KeyError(
+                    f"attribute {attribute_type!r} missing from {fname} "
+                    f"(available: {sorted(meta['attrs'])})")
             attr = meta["attrs"].get(attribute_type, 0)
             if attribute_type in MED_ATTRIBUTES and attr <= -1:
                 continue

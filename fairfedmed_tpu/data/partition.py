@@ -53,7 +53,7 @@ def partition_indices(
         k = int(partition[len("noniid-#label"):])
         return _label_quantity(y_train, y_test, n_parties, K, k)
     if partition == "noniid-labeldir100":
-        return _hierarchical_dirichlet(y_train, y_test, n_parties, K)
+        return _hierarchical_dirichlet(y_train, y_test, n_parties, K, beta=beta)
     raise ValueError(f"Unknown partition strategy: {partition}")
 
 
@@ -157,10 +157,13 @@ def _label_quantity(y_train, y_test, n_parties, K, k_per_client):
     return out_train, out_test
 
 
-def _hierarchical_dirichlet(y_train, y_test, n_parties, K, seed=12345, alpha=10):
+def _hierarchical_dirichlet(y_train, y_test, n_parties, K, seed=12345,
+                            alpha=10, beta=0.4):
     """noniid-labeldir100: pachinko-style coarse→fine Dirichlet allocation over
-    the CIFAR-100 hierarchy (utils/datasplit.py:280-430).  The reference fixes
-    its own internal seed=12345 / alpha=10 regardless of CLI flags; the split is
+    the CIFAR-100 hierarchy (utils/datasplit.py:280-430).  The COARSE prior is
+    drawn with the CLI ``beta`` (datasplit.py:376) — that is where the label
+    skew lives; the fine-within-coarse prior uses the reference's fixed
+    alpha=10.  seed=12345 is the reference's fixed internal seed; the split is
     computed over the concatenated train+test pool then re-separated."""
     y = np.concatenate([y_train, y_test], axis=0)
     n_fine = 100
@@ -186,7 +189,7 @@ def _hierarchical_dirichlet(y_train, y_test, n_parties, K, seed=12345, alpha=10)
     client_idxs = [[] for _ in range(n_parties)]
 
     for client in range(n_parties):
-        coarse_prior = np.random.dirichlet(alpha=[alpha] * len(available_coarse))
+        coarse_prior = np.random.dirichlet(alpha=[beta] * len(available_coarse))
         fine_priors = {c: np.random.dirichlet(alpha=[alpha] * len(fine_by_coarse[c]))
                        for c in available_coarse}
         for _ in range(n_per_client):

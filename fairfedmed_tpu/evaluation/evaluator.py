@@ -111,13 +111,16 @@ class Classification_oph:
         mo = np.asarray(mo, np.float32)
         gt = np.asarray(gt)
         if mo.shape == gt.shape:
+            # binary sigmoid outputs [B]: threshold, don't argmax (which
+            # would collapse over the batch)
             self._pred_prob.append(_sigmoid(mo))
+            pred = (_sigmoid(mo) >= 0.5).astype(gt.dtype)
         else:
             self._pred_prob.append(_softmax(mo))
+            pred = mo.argmax(-1)
         self._gt.append(gt)
         if attr is not None:
             self._attr.append(np.asarray(attr))
-        pred = mo.argmax(-1)
         self._correct += int((pred == gt).sum())
         self._total += int(gt.shape[0])
         self._y_true.extend(gt.tolist())

@@ -165,7 +165,23 @@ def make_parallel_round(
         out_specs=(c_spec, c_spec, r_spec, r_spec),
         check_vma=False,
     )
-    return jax.jit(round_fn)
+    jitted = jax.jit(round_fn)
+    n_client_shards = mesh.shape[CLIENT_AXIS]
+
+    def checked(stacked_trainable, stacked_opt_state, frozen, global_t,
+                stacked_batches, weights, group_weights, beta_decay):
+        # per_client drops the size-1 client axis with x[0]; more clients than
+        # client-axis shards would silently discard all but the first in each
+        # shard and aggregate with wrong weights
+        n = jax.tree_util.tree_leaves(stacked_trainable)[0].shape[0]
+        if n != n_client_shards:
+            raise ValueError(
+                f"{n} stacked clients but the mesh has {n_client_shards} "
+                f"'{CLIENT_AXIS}' shards — stack exactly one client per shard")
+        return jitted(stacked_trainable, stacked_opt_state, frozen, global_t,
+                      stacked_batches, weights, group_weights, beta_decay)
+
+    return checked
 
 
 def stack_clients(trees):

@@ -35,7 +35,7 @@ _lib_lock = threading.Lock()
 _DTYPES = {
     "<f4": np.float32, "<f8": np.float64, "<i4": np.int32, "<i8": np.int64,
     "<i2": np.int16, "<u2": np.uint16, "|i1": np.int8, "|u1": np.uint8,
-    "|b1": np.bool_, "<f2": np.float16,
+    "|b1": np.bool_, "<f2": np.float16, "<u4": np.uint32, "<u8": np.uint64,
 }
 
 

@@ -244,6 +244,9 @@ bool fetch(NpzFile* f, const std::string& member, Ticket* t) {
   if (!load_member_bytes(f, &m, &bytes)) return false;
   Member meta = m;
   if (!parse_npy_header(bytes.data(), bytes.size(), &meta)) return false;
+  if (meta.fortran) return false;  // column-major members would be
+                                   // silently transposed — reject like
+                                   // unsupported dtypes
   t->dtype = meta.dtype;
   t->shape = meta.shape;
   t->payload.assign(bytes.begin() + meta.payload_offset, bytes.end());

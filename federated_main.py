@@ -156,6 +156,12 @@ def main(args):
                     datanumber_client_by_attr.append(ds.count_by_attribute(args.attribute_type))
                 else:
                     datanumber_client_by_attr = None
+    if datanumber_client_by_attr:
+        # clients missing the highest group id return shorter histograms —
+        # pad to a common length so the group-weighted average stays rectangular
+        width = max(len(c) for c in datanumber_client_by_attr)
+        datanumber_client_by_attr = [c + [0] * (width - len(c))
+                                     for c in datanumber_client_by_attr]
     global_weights = copy.deepcopy(local_trainer.state_dict())
 
     max_epoch = cfg.OPTIM.ROUND
