@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, p_scratch):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     """One (batch·head) program: full-length attention in VMEM."""
     q = q_ref[0].astype(jnp.float32)  # [Lp, dh]
     k = k_ref[0].astype(jnp.float32)
@@ -45,14 +45,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, p_scratch):
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     p = e / denom
-    p_scratch[:] = p
     o_ref[0] = jax.lax.dot_general(
         p, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                p_scratch):
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -63,7 +61,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    p_scratch[:] = p
     # dV = Pᵀ · dO
     dv_ref[0] = jax.lax.dot_general(
         p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -113,7 +110,6 @@ def _attend_impl(qf, kf, vf, maskf, lp, interpret):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, lp, dh), qf.dtype),
-        scratch_shapes=[pltpu.VMEM((lp, lp), jnp.float32)],
         interpret=interpret,
     )(qf, kf, vf, maskf)
 
@@ -128,7 +124,6 @@ def _attend_bwd_impl(qf, kf, vf, maskf, do, lp, interpret):
         in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((n, lp, dh), qf.dtype),) * 3,
-        scratch_shapes=[pltpu.VMEM((lp, lp), jnp.float32)],
         interpret=interpret,
     )(qf, kf, vf, maskf, do)
     return dq, dk, dv
