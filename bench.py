@@ -29,7 +29,7 @@ import optax
 REF_GPU_IMGS_PER_SEC = 175.0
 BATCH = 32
 WARMUP = 3
-ITERS = 20
+ITERS = 50  # ~1.8s measured window — tunnel-noise resistant
 
 
 def main():

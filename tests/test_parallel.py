@@ -127,3 +127,24 @@ def test_dist_helpers():
     x = jax.device_put(jax.numpy.zeros((8, 4)), sh)
     y = jax.device_put(jax.numpy.zeros((4,)), rep)
     assert x.shape == (8, 4) and y.sharding.is_fully_replicated
+
+
+def test_parallel_round_rejects_client_shard_mismatch():
+    """More stacked clients than client-axis shards must raise, not silently
+    drop clients (fed/parallel.py checked wrapper)."""
+    import optax
+    from fairfedmed_tpu.fed.parallel import make_parallel_round, stack_clients
+
+    n_dev = min(4, len(jax.devices()))
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev, 1),
+                             (CLIENT_AXIS, DATA_AXIS))
+    tx = optax.sgd(0.1)
+    round_fn = make_parallel_round(mesh, lambda t, o, f, b: (t, o, jnp.float32(0.0)))
+    clients = [_make_client(i) for i in range(n_dev * 2)]  # 2x too many
+    stacked = stack_clients(clients)
+    opt = stack_clients([tx.init(c) for c in clients])
+    batches = {"x": jnp.zeros((n_dev * 2, 1, 2, D_IN)), "y": jnp.zeros((n_dev * 2, 1, 2))}
+    w = jnp.full((n_dev * 2,), 1.0 / (n_dev * 2))
+    gw = jnp.full((n_dev * 2, G), 1.0 / (n_dev * 2))
+    with pytest.raises(ValueError, match="shards"):
+        round_fn(stacked, opt, {}, clients[0], batches, w, gw, jnp.float32(0.0))
