@@ -163,9 +163,11 @@ def materialized_weight(
     scaling: float,
     batch: int,
 ) -> jnp.ndarray:
-    """Per-sample effective weight [batch, out, in] for functional attention
-    pooling (mirrors FairLoRALinear.weight, GLP_OT_SVLoRA.py:425-448, which uses
-    a HARD one-hot rather than the λ=0.7 soft mix)."""
+    """Per-sample effective weight [batch, out, in] — a reference-parity
+    helper mirroring FairLoRALinear.weight (GLP_OT_SVLoRA.py:425-448, HARD
+    one-hot rather than the λ=0.7 soft mix).  NOT used by the production
+    forward (attention_pool applies lora_delta directly); kept for parity
+    audits and tests."""
     if attr is None:
         mix = jnp.full((batch, num_groups), 1.0 / num_groups, dtype=jnp.float32)
     else:

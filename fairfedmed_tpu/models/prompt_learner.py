@@ -35,6 +35,7 @@ class PromptState:
     n_ctx: int
     n_prompts: int
     class_token_position: str
+    csc: bool = False  # class-specific contexts (ctx is [n_cls, n_ctx, dim])
 
 
 def init_prompt_learner(
@@ -68,6 +69,7 @@ def init_prompt_learner(
         prompt_prefix = " ".join(["X"] * n_ctx)
 
     name_lens = [len(tok.encode(name)) for name in classnames]
+    is_csc = bool(csc) and not ctx_init
     prompts = [f"{prompt_prefix} {name}." for name in classnames]
     tokenized = tk.tokenize(prompts)  # [n_cls, 77]
     tokenized = np.tile(tokenized, (n_prompts, 1))  # [N*n_cls, 77]
@@ -83,6 +85,7 @@ def init_prompt_learner(
         tokenized_prompts=tokenized,
         eot_indices=tokenized.argmax(-1),
         name_lens=name_lens,
+        csc=is_csc,
         n_cls=n_cls,
         n_ctx=n_ctx,
         n_prompts=n_prompts,
@@ -94,7 +97,9 @@ def init_prompt_learner(
 def assemble_prompts(ctx: jnp.ndarray, state: PromptState) -> jnp.ndarray:
     """ctx [N, n_ctx, dim] (or [n_cls, n_ctx, dim] CSC) → [N*n_cls, 77, dim]."""
     n_cls, n_ctx, n = state.n_cls, state.n_ctx, state.n_prompts
-    if ctx.ndim == 3 and ctx.shape[0] == n:
+    # dispatch on the stored csc flag — a shape test (ctx.shape[0]==n) breaks
+    # whenever n_cls happens to equal n_prompts
+    if ctx.ndim == 3 and not getattr(state, "csc", False):
         # [N, n_ctx, d] → [n_cls, N, n_ctx, d] → [N, n_cls, n_ctx, d] → [N*n_cls, ...]
         ctx = jnp.broadcast_to(ctx[None], (n_cls, *ctx.shape))
         ctx = ctx.transpose(1, 0, 2, 3).reshape(n * n_cls, n_ctx, ctx.shape[-1])

@@ -274,7 +274,8 @@ class TrainerX(SimpleTrainer):
                 losses.update(loss_summary)
 
             meet_freq = (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
-            if meet_freq:
+            only_few_batches = self.num_batches < self.cfg.TRAIN.PRINT_FREQ
+            if meet_freq or only_few_batches:
                 nb_remain = self.num_batches - self.batch_idx - 1
                 eta_seconds = batch_time.avg * nb_remain
                 import datetime

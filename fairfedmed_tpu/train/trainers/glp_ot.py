@@ -111,18 +111,17 @@ class GLPOTBase(TrainerX):
 
         trainable = {"prompt_learner": pl_params}
 
-        # LayerNorm unfreezing (GLP_OT.py:414-426): without LoRA,
-        # UNFREEZE_IMAGE_ENCODER trains visual ln_pre; UNFREEZE_TEXT_ENCODER
-        # trains the text ln_final.  The LN params move to the trainable tree
-        # and override the frozen copies inside the jitted forward.
+        # LayerNorm unfreezing (GLP_OT.py:414-426,444-453): without LoRA,
+        # UNFREEZE_IMAGE_ENCODER trains visual ln_pre (the only grad-enabled
+        # image-encoder param handed to the optimizer).  UNFREEZE_TEXT_ENCODER
+        # is a reference NO-OP: it sets requires_grad on text ln_ params but
+        # never passes any text-encoder param to the optimizer (GLP_OT.py:444)
+        # — we reproduce that (flag parsed, nothing trained).
         lc0 = cfg.TRAINER.GLP_OT_LORA
         if lc0.UNFREEZE_IMAGE_ENCODER and not self.use_lora \
                 and bundle.backbone_type == "vit":
             trainable["visual_ln_pre"] = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.float32), bundle.params["visual"]["ln_pre"])
-        if lc0.UNFREEZE_TEXT_ENCODER:
-            trainable["text_ln_final"] = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.float32), bundle.params["text"]["ln_final"])
 
         # demographic groups
         self.disable_attr = bool(cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR) if self.use_lora else True
@@ -259,14 +258,10 @@ class GLPOTBase(TrainerX):
         cfg_t = self.cfg.TRAINER.GLP_OT
         policy = self.policy
         # trainable LayerNorm overrides (GLP_OT.py:414-426)
-        if "visual_ln_pre" in trainable or "text_ln_final" in trainable:
+        if "visual_ln_pre" in trainable:
             frozen = dict(frozen)
-            if "visual_ln_pre" in trainable:
-                frozen["visual"] = {**frozen["visual"],
-                                    "ln_pre": trainable["visual_ln_pre"]}
-            if "text_ln_final" in trainable:
-                frozen["text"] = {**frozen["text"],
-                                  "ln_final": trainable["text_ln_final"]}
+            frozen["visual"] = {**frozen["visual"],
+                                "ln_pre": trainable["visual_ln_pre"]}
         x = self._preprocess(trainable, image)
 
         lora = trainable.get("image_encoder_lora")
@@ -373,6 +368,7 @@ class GLPOTBase(TrainerX):
                 jnp.stack([jnp.where(valid, loss, jnp.nan),
                            valid.astype(jnp.float32),
                            accuracy_from_logits(logits, label)]),
+                label.astype(jnp.float32),
                 jax.nn.softmax(logits.astype(jnp.float32), -1).ravel(),
             ])
             return trainable, opt_state, new_stats, metrics
@@ -399,7 +395,7 @@ class GLPOTBase(TrainerX):
             self.trainable, self.opt_state, self.stats, self.frozen,
             image, label, tgt_attr, ctx_global, jnp.float32(mu))
 
-        m = np.asarray(metrics)  # single host fetch: [loss, valid, acc, probs...]
+        m = np.asarray(metrics)  # one host fetch: [loss, valid, acc, label, probs]
         loss, valid, acc = float(m[0]), bool(m[1]), float(m[2])
         if valid:
             # genuine NaN/Inf divergence raises like the reference's
@@ -408,9 +404,10 @@ class GLPOTBase(TrainerX):
             self.detect_anomaly(loss)
         loss_summary = {"loss": loss, "acc": acc}
 
-        if self.cfg.DATASET.NAME in MEDICAL_DATASETS:
-            probs = m[3:].reshape(-1, self.n_cls)
-            label_h = np.asarray(label)
+        if self.cfg.DATASET.NAME in MEDICAL_DATASETS and valid:
+            B = int(label.shape[0])
+            label_h = m[3 : 3 + B].astype(np.int64)  # from the same fetch
+            probs = m[3 + B :].reshape(-1, self.n_cls)
             if len(set(label_h.tolist())) == 1:
                 loss_summary["auc"] = 1
             else:
@@ -469,9 +466,6 @@ class GLPOTBase(TrainerX):
         if "visual_ln_pre" in self.trainable:
             dev["image_encoder.ln_pre.weight"] = self.trainable["visual_ln_pre"]["weight"]
             dev["image_encoder.ln_pre.bias"] = self.trainable["visual_ln_pre"]["bias"]
-        if "text_ln_final" in self.trainable:
-            dev["text_encoder.ln_final.weight"] = self.trainable["text_ln_final"]["weight"]
-            dev["text_encoder.ln_final.bias"] = self.trainable["text_ln_final"]["bias"]
         if "proj_per_3d_slice" in self.trainable:
             dev["proj_per_3d_slice.weight"] = self.trainable["proj_per_3d_slice"]["weight"]
             dev["proj_per_3d_slice.bias"] = self.trainable["proj_per_3d_slice"]["bias"]
@@ -527,11 +521,6 @@ class GLPOTBase(TrainerX):
             t["visual_ln_pre"] = {
                 "weight": jnp.asarray(state["image_encoder.ln_pre.weight"], jnp.float32),
                 "bias": jnp.asarray(state["image_encoder.ln_pre.bias"], jnp.float32),
-            }
-        if "text_ln_final" in t and "text_encoder.ln_final.weight" in state:
-            t["text_ln_final"] = {
-                "weight": jnp.asarray(state["text_encoder.ln_final.weight"], jnp.float32),
-                "bias": jnp.asarray(state["text_encoder.ln_final.bias"], jnp.float32),
             }
         if "proj_per_3d_slice" in t and "proj_per_3d_slice.weight" in state:
             t["proj_per_3d_slice"] = {

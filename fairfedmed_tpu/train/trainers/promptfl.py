@@ -72,7 +72,14 @@ class _CosineCLIPTrainer(TrainerX):
     def _device_preprocess(self, image):
         cfg = self.cfg
         x = image.astype(jnp.float32)
-        if cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
+        if cfg.DATASET.NAME in ("FairFedMed", "FedChexMimic", "WangGrant"):
+            # medical datasets bypass host transforms (build_transform returns
+            # None) — normalize on device like the GLP trainers' _preprocess
+            # (the reference fed these trainers ToTensor+Normalize output)
+            mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32).reshape(1, -1, 1, 1)
+            std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32).reshape(1, -1, 1, 1)
+            x = (x / 255.0 - mean) / std
+        elif cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
             from ...data.datasets.cifar import CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD
             m, s = (CIFAR10_MEAN, CIFAR10_STD) if cfg.DATASET.NAME == "Cifar10" else (CIFAR100_MEAN, CIFAR100_STD)
             x = x / 255.0

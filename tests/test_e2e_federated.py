@@ -265,16 +265,15 @@ def test_unfrozen_layernorms_receive_gradients(fairfedmed_root, tmp_path):
     trainer = build_trainer(cfg)
     sd = trainer.state_dict()
     assert "image_encoder.ln_pre.weight" in sd
-    assert "text_encoder.ln_final.weight" in sd
-    before = {k: sd[k].copy() for k in
-              ("image_encoder.ln_pre.weight", "text_encoder.ln_final.weight")}
+    # UNFREEZE_TEXT_ENCODER is a reference NO-OP: requires_grad is set but no
+    # text param is ever given to the optimizer (GLP_OT.py:444-453) — so the
+    # text ln_final must NOT appear in the trainable federated state
+    assert "text_encoder.ln_final.weight" not in sd
+    before = sd["image_encoder.ln_pre.weight"].copy()
     trainer.train(idx=0, global_epoch=0, is_fed=True)
     after = trainer.state_dict()
-    # SGD must have moved the unfrozen LayerNorms
-    assert not np.array_equal(after["image_encoder.ln_pre.weight"],
-                              before["image_encoder.ln_pre.weight"])
-    assert not np.array_equal(after["text_encoder.ln_final.weight"],
-                              before["text_encoder.ln_final.weight"])
+    # SGD must have moved the unfrozen visual ln_pre
+    assert not np.array_equal(after["image_encoder.ln_pre.weight"], before)
 
 
 def test_zero_shot_clip_branch(cifar_root, tmp_path):
