@@ -172,6 +172,18 @@ class FairFedMedDataset:
             members = self._MODALITY_MEMBERS[self.modality_type]
             self._tickets[i] = {mk: pool.submit(path, mk) for mk in members}
 
+    def clear_prefetch(self):
+        """Drop uncollected prefetch tickets (interrupted epoch) so their
+        decoded payloads don't accumulate in the native ticket map."""
+        tickets = getattr(self, "_tickets", None)
+        if not tickets:
+            return
+        pool = self._get_pool()
+        for entry in tickets.values():
+            for t in entry.values():
+                pool.discard(t)
+        tickets.clear()
+
     def _raw_members(self, i: int) -> dict:
         tickets = getattr(self, "_tickets", {}).pop(i, None)
         if tickets is not None:

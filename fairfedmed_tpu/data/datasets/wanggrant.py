@@ -4,11 +4,13 @@ Capability parity with ``WangGrantDataset`` (utils/data_utils.py:436-555).
 Note the reference ships this class in a broken state: ``datasets/build.py:13``
 imports a missing ``datasets/WangGrant.py`` module (ImportError as shipped)
 and the attrs branch reads ``raw_data[k]`` off a pixel array.  Here the class
-is functional — registered as ``WangGrant`` with a per-site CSV convention
-mirroring FairFedMed — and attrs come from CSV columns when present.
+is functional — registered as ``WangGrant`` — and attrs come from CSV columns
+when present.
 
-CSV: ``metatable_heart_biomarkers_binary_oneeye_clean_{train,valid}.csv`` with
-``id``, ``righteye`` and the binary disease columns
+CSV: per-site ``..._clean_site{k}_{train,valid}.csv`` is used when it exists
+(mirroring FairFedMed's per-site convention); otherwise every client falls
+back to the shared ``metatable_heart_biomarkers_binary_oneeye_clean_{train,
+valid}.csv``, with ``id``, ``righteye`` and the binary disease columns
 (heart.attack/heart.ckmb/heart.troponin/heart.proBNP); images live at
 ``<root>/<modality>/<id>_<OD|OS>_<modality>.tif``.
 """
@@ -52,8 +54,10 @@ class WangGrantDataset:
         self.depth = depth
 
         split = "train" if train else "valid"
-        csv_path = os.path.join(
-            base_path, f"metatable_heart_biomarkers_binary_oneeye_clean_{split}.csv")
+        stem = "metatable_heart_biomarkers_binary_oneeye_clean"
+        per_site = os.path.join(base_path, f"{stem}_site{site}_{split}.csv")
+        shared = os.path.join(base_path, f"{stem}_{split}.csv")
+        csv_path = per_site if os.path.exists(per_site) else shared
         df = pd.read_csv(csv_path)
         assert "id" in df.columns and "righteye" in df.columns, \
             "file id must be included in the head"

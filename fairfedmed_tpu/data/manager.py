@@ -44,12 +44,21 @@ class ClientLoader:
         self.transform = transform
         self.pad_final = pad_final and not is_train
         self.sampler = sampler
-        n = len(dataset)
-        self.drop_last = is_train and n >= batch_size
+
+    def _drop_last(self, n_stream: int) -> bool:
+        # the drop-last decision follows the ACTUAL index stream, not
+        # len(dataset): a structured sampler can yield fewer than batch_size
+        # indices (e.g. RandomClassSampler on a client owning one class), and
+        # dataset-length-based dropping would silently train zero batches
+        return self.is_train and n_stream >= self.batch_size
 
     def __len__(self):
+        # for structured samplers whose stream length varies per epoch
+        # (RandomDomainSampler re-rolls each draw) this is an estimate based
+        # on the sampler's reported length; __iter__ recomputes from the
+        # actual stream
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
-        if self.drop_last:
+        if self._drop_last(n):
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -65,37 +74,43 @@ class ClientLoader:
         idxs = self._indices()
         n = len(idxs)
         bs = self.batch_size
-        stop = (n // bs) * bs if self.drop_last else n
+        stop = (n // bs) * bs if self._drop_last(n) else n
         can_prefetch = hasattr(self.dataset, "prefetch")
-        if can_prefetch and stop > 0:
-            self.dataset.prefetch([int(i) for i in idxs[:bs]])
-        for start in range(0, stop, bs):
-            chunk = idxs[start : start + bs]
-            if can_prefetch and start + bs < stop:
-                # queue the NEXT batch on the native decode pool while this
-                # one is processed / the device is busy
-                self.dataset.prefetch([int(i) for i in idxs[start + bs : start + 2 * bs]])
-            n_valid = len(chunk)
-            if self.pad_final and n_valid < bs and n_valid > 0:
-                pad = np.resize(chunk, bs)  # cycle earlier indices as padding
-                chunk = pad
-            imgs, labels, attrs = [], [], []
-            for i in chunk:
-                img, label, attr = self.dataset.load_item(int(i))
-                if self.transform is not None:
-                    img = self.transform(img)
-                imgs.append(img)
-                labels.append(label)
-                if attr is not None:
-                    attrs.append(attr)
-            batch = {
-                "img": np.stack(imgs),
-                "label": np.asarray(labels, np.int32),
-                "n_valid": n_valid,
-            }
-            if attrs:
-                batch["attrs"] = np.stack(attrs).astype(np.int32)
-            yield batch
+        try:
+            if can_prefetch and stop > 0:
+                self.dataset.prefetch([int(i) for i in idxs[:bs]])
+            for start in range(0, stop, bs):
+                chunk = idxs[start : start + bs]
+                if can_prefetch and start + bs < stop:
+                    # queue the NEXT batch on the native decode pool while this
+                    # one is processed / the device is busy
+                    self.dataset.prefetch([int(i) for i in idxs[start + bs : start + 2 * bs]])
+                n_valid = len(chunk)
+                if self.pad_final and n_valid < bs and n_valid > 0:
+                    pad = np.resize(chunk, bs)  # cycle earlier indices as padding
+                    chunk = pad
+                imgs, labels, attrs = [], [], []
+                for i in chunk:
+                    img, label, attr = self.dataset.load_item(int(i))
+                    if self.transform is not None:
+                        img = self.transform(img)
+                    imgs.append(img)
+                    labels.append(label)
+                    if attr is not None:
+                        attrs.append(attr)
+                batch = {
+                    "img": np.stack(imgs),
+                    "label": np.asarray(labels, np.int32),
+                    "n_valid": n_valid,
+                }
+                if attrs:
+                    batch["attrs"] = np.stack(attrs).astype(np.int32)
+                yield batch
+        finally:
+            # an interrupted epoch leaves queued tickets whose decoded
+            # payloads would otherwise sit in the native ticket map forever
+            if can_prefetch and hasattr(self.dataset, "clear_prefetch"):
+                self.dataset.clear_prefetch()
 
 
 class DataManager:

@@ -54,6 +54,12 @@ def _drain_domains(domain_dict, domain_order, n_img_per_domain):
     stop = False
     while not stop:
         for domain in domain_order():
+            # check BEFORE drawing: the reference sets its stop flag but still
+            # finishes the round, so a second short domain in the same round
+            # would make random.sample raise ValueError and crash the epoch
+            if len(pools[domain]) < n_img_per_domain:
+                stop = True
+                break
             idxs = random.sample(pools[domain], n_img_per_domain)
             final.extend(idxs)
             for idx in idxs:

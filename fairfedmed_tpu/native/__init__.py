@@ -84,6 +84,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int64)]
         lib.nlp_collect.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                     ctypes.c_void_p, ctypes.c_int64]
+        lib.nlp_discard.argtypes = [ctypes.c_void_p, ctypes.c_long]
         _lib = lib
         return lib
 
@@ -203,6 +204,13 @@ class PrefetchPool:
         if rc != 0:
             raise IOError(f"prefetch collect {ticket} failed")
         return arr
+
+    def discard(self, ticket):
+        """Drop an uncollected ticket so its decoded payload is freed."""
+        if isinstance(ticket, tuple) and ticket[0] == "_sync":
+            return
+        if self._p is not None:
+            self._lib.nlp_discard(self._p, ctypes.c_long(ticket))
 
     def close(self):
         if self._p is not None:

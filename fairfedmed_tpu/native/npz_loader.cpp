@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <list>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -186,8 +187,16 @@ struct Pool {
   std::condition_variable cv_work, cv_done;
   long next_id = 1;
   bool stop = false;
-  // pool keeps its own cache of open files
-  std::map<std::string, std::shared_ptr<NpzFile>> files;
+  // Bounded LRU of open files.  FairFedMed stores one NPZ per sample, so an
+  // unbounded FILE* cache exhausts the process fd limit (default 1024) within
+  // the first epoch.  Eviction only drops the map's shared_ptr — in-flight
+  // jobs captured their own reference, and the FILE* closes (~NpzFile) when
+  // the last reference goes away.
+  static constexpr size_t kMaxOpenFiles = 64;
+  std::list<std::string> lru;  // front = most recently used
+  std::map<std::string,
+           std::pair<std::shared_ptr<NpzFile>, std::list<std::string>::iterator>>
+      files;
   std::mutex files_mu;
 };
 
@@ -269,9 +278,11 @@ void worker_loop(Pool* pool) {
     job(&local);
     {
       std::lock_guard<std::mutex> lk(pool->mu);
-      auto& t = pool->tickets[id];
-      *t = std::move(local);
-      t->done = true;
+      auto it = pool->tickets.find(id);
+      if (it != pool->tickets.end()) {  // discarded tickets drop their result
+        *it->second = std::move(local);
+        it->second->done = true;
+      }
     }
     pool->cv_done.notify_all();
   }
@@ -361,11 +372,19 @@ long nlp_submit(void* p, const char* path, const char* member) {
     std::lock_guard<std::mutex> lk(pool->files_mu);
     auto it = pool->files.find(spath);
     if (it != pool->files.end()) {
-      file = it->second;
+      file = it->second.first;
+      pool->lru.erase(it->second.second);
+      pool->lru.push_front(spath);
+      it->second.second = pool->lru.begin();
     } else {
       file.reset(open_npz(spath.c_str()));
       if (!file) return -1;
-      pool->files[spath] = file;
+      pool->lru.push_front(spath);
+      pool->files[spath] = {file, pool->lru.begin()};
+      while (pool->files.size() > Pool::kMaxOpenFiles) {
+        pool->files.erase(pool->lru.back());
+        pool->lru.pop_back();
+      }
     }
   }
   long id;
@@ -400,6 +419,21 @@ int nlp_wait_info(void* p, long id, char* dtype16, int64_t* shape8, int* ndim,
   for (size_t i = 0; i < t->shape.size() && i < 8; ++i) shape8[i] = t->shape[i];
   *nbytes = static_cast<int64_t>(t->payload.size());
   return 0;
+}
+
+// Drop a ticket without collecting it (e.g. an interrupted epoch).  A still-
+// queued job is removed; an in-flight job's result is dropped by the worker
+// when it finds the ticket gone.
+int nlp_discard(void* p, long id) {
+  auto* pool = static_cast<Pool*>(p);
+  std::lock_guard<std::mutex> lk(pool->mu);
+  for (auto it = pool->queue.begin(); it != pool->queue.end(); ++it) {
+    if (it->first == id) {
+      pool->queue.erase(it);
+      break;
+    }
+  }
+  return pool->tickets.erase(id) ? 0 : -1;
 }
 
 int nlp_collect(void* p, long id, void* dst, int64_t cap) {

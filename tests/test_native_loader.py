@@ -60,6 +60,65 @@ def test_prefetch_pool(npz_files):
     pool.close()
 
 
+def _open_fd_count():
+    return len(os.listdir("/proc/self/fd"))
+
+
+def test_pool_fd_cache_is_bounded(tmp_path):
+    """One NPZ per sample (the FairFedMed layout) must not leak one fd per
+    file: the pool's open-file cache is a bounded LRU."""
+    pool = PrefetchPool(1)
+    if not pool.native:
+        pytest.skip("native library unavailable")
+    n_files = 80  # above the 64-entry LRU cap
+    arr = np.arange(6, dtype=np.float32)
+    paths = []
+    for i in range(n_files):
+        p = str(tmp_path / f"s{i}.npz")
+        np.savez(p, x=arr)
+        paths.append(p)
+    before = _open_fd_count()
+    for p in paths:
+        t = pool.submit(p, "x")
+        np.testing.assert_array_equal(pool.collect(t), arr)
+    after = _open_fd_count()
+    assert after - before <= 66, f"fd growth {after - before} exceeds LRU cap"
+    pool.close()
+
+
+def test_pool_discard(npz_files):
+    stored, _, arrays = npz_files
+    pool = PrefetchPool(2)
+    if not pool.native:
+        pytest.skip("native library unavailable")
+    t1 = pool.submit(stored, "f32")
+    t2 = pool.submit(stored, "u8")
+    pool.discard(t1)
+    # discarded ticket is gone; the other still collects fine
+    with pytest.raises(IOError):
+        pool.collect(t1)
+    np.testing.assert_array_equal(pool.collect(t2), arrays["u8"])
+    pool.close()
+
+
+def test_clear_prefetch_drops_tickets(tmp_path):
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=6, n_test=4, size=24)
+    ds = FairFedMedDataset(
+        base_path=str(tmp_path / "fairfedmed"), site=1, attribute_type="race",
+        attributes=["gender", "race"], modality_type="slo_fundus",
+        resolution=24, train=True)
+    ds.prefetch(range(len(ds)))
+    assert len(ds._tickets) == len(ds)
+    ds.clear_prefetch()
+    assert len(ds._tickets) == 0
+    # items still load through the non-prefetch path
+    img, label, attrs = ds.load_item(0)
+    assert img.shape[0] == 3
+
+
 def test_fairfedmed_prefetch_path(tmp_path):
     from tests.fixtures import make_fairfedmed_fixture
     from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset

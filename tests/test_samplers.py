@@ -83,3 +83,45 @@ def test_client_loader_with_sampler():
     loader = ClientLoader(split, batch_size=4, is_train=True, sampler=sampler)
     batches = list(loader)
     assert batches and all(b["img"].shape[0] == 4 for b in batches)
+
+
+def test_uneven_domain_pools_do_not_crash():
+    """A short second domain mid-round must stop the draw, not raise
+    ValueError out of random.sample."""
+    random.seed(0)
+    src = [Datum(impath=f"/x/0/{i}", label=0, domain=0) for i in range(12)]
+    src += [Datum(impath=f"/x/1/{i}", label=0, domain=1) for i in range(5)]
+    for _ in range(20):  # re-roll: every epoch draws fresh
+        idxs = list(SeqDomainSampler(src, batch_size=4))
+        assert all(0 <= i < len(src) for i in idxs)
+        rds = RandomDomainSampler(src, batch_size=4, n_domain=2)
+        assert all(0 <= i < len(rds.domain_dict[0]) + len(rds.domain_dict[1])
+                   for i in list(rds))
+
+
+def test_short_sampler_stream_trains_a_batch():
+    """Sampler yielding fewer than batch_size indices must still produce one
+    (short) train batch instead of silently training zero batches."""
+    from fairfedmed_tpu.data.datasets.fewshot import ImageListSplit
+    from fairfedmed_tpu.data.manager import ClientLoader
+
+    random.seed(0)
+    # 1 class × 4 instances but batch_size 8 → RandomClassSampler yields 4 idxs
+    src = [Datum(impath=f"/x/0/{i}", label=0, domain=0) for i in range(40)]
+
+    class FakeSplit(ImageListSplit):
+        def load_item(self, i):
+            return np.zeros((4, 4, 3), np.uint8), self.items[i].label, None
+
+    class ShortSampler:
+        def __iter__(self):
+            return iter(range(4))
+
+        def __len__(self):
+            return 4
+
+    split = FakeSplit(src)
+    loader = ClientLoader(split, batch_size=8, is_train=True, sampler=ShortSampler())
+    batches = list(loader)
+    assert len(batches) == 1 and batches[0]["img"].shape[0] == 4
+    assert len(loader) == 1
