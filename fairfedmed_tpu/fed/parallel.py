@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import CLIENT_AXIS
+from ..core.mesh import CLIENT_AXIS, DATA_AXIS
 from ..core.pytree import map_with_path
 
 
@@ -182,6 +182,62 @@ def make_parallel_round(
                       stacked_batches, weights, group_weights, beta_decay)
 
     return checked
+
+
+def make_client_train_round(mesh: Mesh, local_step: Callable, batch_spec=None):
+    """Compile per-client local training as one SPMD program over the mesh.
+
+    Generalizes :func:`make_parallel_round`'s training half for the product
+    path (fed/parallel_driver.py): supports MORE stacked clients than client-
+    axis shards (the extra clients vmap inside each shard — on a single chip
+    this widens the effective batch) and RAGGED per-client batch streams via a
+    padded scan with an ``n_steps`` mask (padded steps leave parameters,
+    optimizer state and metrics untouched).
+
+    ``local_step(trainable, opt_state, frozen, batch) -> (trainable, opt_state,
+    metrics)`` runs one client's update for one batch.  Returns
+    ``train_fn(stacked_trainable, stacked_opt_state, frozen, stacked_batches,
+    n_steps) -> (stacked_trainable, stacked_opt_state, stacked_metrics)`` where
+    stacked inputs carry a leading client axis of size C (divisible by the
+    mesh's client-shard count) and batches are ``[C, S, B, ...]``.
+
+    Aggregation/EMA/personalization deliberately live OUTSIDE this program —
+    they are cheap tree ops over the stacked client axis that XLA lowers to
+    ICI collectives on its own under jit with client-sharded inputs
+    (fed/parallel_driver.py), and keeping them separate lets frac-sampled
+    rounds train a subset while personalization touches all clients.
+    """
+
+    def per_shard(trainable, opt_state, frozen, batches, n_steps):
+        # leading axis = this shard's local clients (k ≥ 1)
+        def train_one(t, o, bstream, nsteps):
+            def body(carry, xs):
+                i, batch = xs
+                t, o = carry
+                t2, o2, metrics = local_step(t, o, frozen, batch)
+                valid = i < nsteps
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(valid, a, b), new, old)
+                return ((keep(t2, t), keep(o2, o)),
+                        jnp.where(valid, metrics, jnp.zeros_like(metrics)))
+
+            n_total = jax.tree_util.tree_leaves(bstream)[0].shape[0]
+            (t, o), ms = jax.lax.scan(body, (t, o),
+                                      (jnp.arange(n_total), bstream))
+            return t, o, ms
+
+        return jax.vmap(train_one)(trainable, opt_state, batches, n_steps)
+
+    c_spec = P(CLIENT_AXIS)
+    b_spec = batch_spec if batch_spec is not None else P(CLIENT_AXIS, None, DATA_AXIS)
+    train_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(c_spec, c_spec, P(), b_spec, c_spec),
+        out_specs=(c_spec, c_spec, c_spec),
+        check_vma=False,
+    )
+    return jax.jit(train_fn, donate_argnums=(0, 1))
 
 
 def stack_clients(trees):

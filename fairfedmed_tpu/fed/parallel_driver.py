@@ -1,0 +1,377 @@
+"""Client-parallel federated rounds as product code.
+
+This is the TPU-native execution path for the CLI's FedOTPLoRA / fedavg
+branches (``--parallel_clients``), replacing the reference's time-multiplexed
+client loop (reference federated_main.py:616-726: load state_dict → train →
+deepcopy → host aggregation, once per client per round) with:
+
+* ONE SPMD program per round training every selected client simultaneously —
+  per-client trainables stacked on a ``clients`` mesh axis
+  (:func:`..fed.parallel.make_client_train_round`); on a single chip the
+  clients vmap into a wider effective batch, on a pod slice they shard over
+  ICI;
+* per-client trainable/optimizer pytrees resident ON DEVICE between rounds —
+  no state_dict pulls inside the round loop; the host sees only the packed
+  per-round metrics vector;
+* FedAvg/EMA aggregation + personalization as jitted tree programs over the
+  stacked client axis (a weighted reduction over a client-sharded axis lowers
+  to ICI collectives under GSPMD).
+
+Documented semantic deltas vs the sequential host loop (both intentional):
+
+* **per-client optimizer state** — the sequential path runs every client
+  through ONE trainer whose momentum/Adam buffers leak from client to client,
+  an artifact of time-multiplexing one accelerator.  Clients here own their
+  optimizer state (and keep it across rounds).  With momentum-free SGD the two
+  paths coincide exactly (tests/test_parallel_cli.py asserts this).
+* **per-round metrics** — per-batch console lines are a sequential-loop
+  artifact; the parallel round prints one loss/acc line per client per round.
+* clients whose dataset is smaller than the batch size train one batch padded
+  by cycling samples (the sequential path trains the short batch as-is).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import CLIENT_AXIS, DATA_AXIS, build_mesh
+from ..core.pytree import flatten_paths, unflatten_paths
+from .aggregate import _freqs
+from .parallel import make_client_train_round
+
+
+def _map2_with_path(fn, tree_a, tree_b):
+    """map_with_path over two trees with identical structure."""
+    fa, fb = flatten_paths(tree_a), flatten_paths(tree_b)
+    return unflatten_paths({k: fn(k, fa[k], fb[k]) for k in fa})
+
+
+def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad the leading axis to ``n`` rows by cycling (np.resize semantics)."""
+    if arr.shape[0] == n:
+        return arr
+    reps = -(-n // arr.shape[0])
+    return np.concatenate([arr] * reps, axis=0)[:n]
+
+
+class ParallelRoundRunner:
+    """Owns the device-resident per-client state and the compiled round.
+
+    ``trainer`` is a built GLP_OT / GLP_OT_SVLoRA trainer (ViT backbone); its
+    ``trainable``/``opt_state`` at construction seed every client.
+    """
+
+    def __init__(self, trainer, cfg, args, datanumber_client,
+                 datanumber_client_by_attr):
+        self.trainer = trainer
+        self.cfg = cfg
+        self.args = args
+        self.datanumber_client = list(datanumber_client)
+        self.datanumber_client_by_attr = datanumber_client_by_attr
+        self.num_users = cfg.DATASET.USERS
+        self.num_groups = getattr(trainer, "num_groups", 1)
+        self.avg_prompt = int(args.avg_prompt)
+        self.local_s = bool(cfg.TRAINER.GLP_OT_LORA.LOCAL_S)
+        self.shared_half_s = bool(args.shared_half_s)
+
+        trainer.make_parallel_local_step()  # probe: raises for unsupported backbones
+
+        C = self.num_users
+        # every client starts from the same init — broadcast then materialize
+        stack = lambda x: jnp.broadcast_to(x[None], (C,) + x.shape)
+
+        @jax.jit
+        def init_stacked(t, o):
+            return (jax.tree_util.tree_map(stack, t),
+                    jax.tree_util.tree_map(stack, o))
+
+        self.personal_t, self.stacked_o = init_stacked(
+            trainer.trainable, trainer.opt_state)
+        self.global_t = trainer.trainable
+        self._meshes = {}
+        self._train_fns = {}
+        self._attr_col = None
+        if not getattr(trainer, "disable_attr", True):
+            self._attr_col = list(cfg.DATASET.ATTRIBUTES).index(
+                cfg.DATASET.ATTRIBUTE_TYPE)
+
+    # ------------------------------------------------------------- plumbing
+    def _mesh(self, m: int):
+        """(clients × data) mesh for an m-client round: the client-shard count
+        must divide m, and the data-axis size must divide the batch size."""
+        if m not in self._meshes:
+            from jax.sharding import Mesh
+
+            bs = self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+            devices = jax.devices()
+            n = len(devices)
+            c = min(m, n)
+            while c > 1 and (n % c != 0 or m % c != 0):
+                c -= 1
+            d = n // c
+            while d > 1 and bs % d != 0:
+                d -= 1
+            arr = np.asarray(devices[: c * d]).reshape(c, d)
+            self._meshes[m] = Mesh(arr, (CLIENT_AXIS, DATA_AXIS))
+        return self._meshes[m]
+
+    def _train_fn(self, m: int):
+        if m not in self._train_fns:
+            mesh = self._mesh(m)
+            d_axis = DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None
+            local_step = self.trainer.make_parallel_local_step(data_axis=d_axis)
+            self._train_fns[m] = make_client_train_round(mesh, local_step)
+        return self._train_fns[m]
+
+    def _round_batches(self, idxs_users: Sequence[int]):
+        """Drain each selected client's train loader into stacked arrays
+        [m, S, B, ...] (+ per-client step counts for the scan mask)."""
+        trainer = self.trainer
+        streams, n_steps = [], []
+        bs = self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+        for idx in idxs_users:
+            per = {"img": [], "label": [], "attr": []}
+            for batch in trainer.fed_train_loader_x_dict[idx]:
+                per["img"].append(_pad_rows(np.asarray(batch["img"]), bs))
+                per["label"].append(_pad_rows(
+                    np.asarray(batch["label"], np.int32), bs))
+                if self._attr_col is not None:
+                    per["attr"].append(_pad_rows(np.asarray(
+                        batch["attrs"][:, self._attr_col], np.int32), bs))
+            n_steps.append(len(per["img"]))
+            streams.append(per)
+        S = max(n_steps)
+        out = {}
+        for key in ("img", "label", "attr"):
+            if not streams[0][key]:
+                continue
+            rows = []
+            for per in streams:
+                stream = np.stack(per[key])
+                if stream.shape[0] < S:  # pad steps (masked by n_steps)
+                    pad = np.repeat(stream[:1], S - stream.shape[0], axis=0)
+                    stream = np.concatenate([stream, pad], axis=0)
+                rows.append(stream)
+            out[key] = np.stack(rows)  # [m, S, B, ...]
+        return out, np.asarray(n_steps, np.int32)
+
+    # ------------------------------------------------------------- round
+    def run_round(self, epoch: int, idxs_users: Sequence[int], max_epoch: int,
+                  mode: str = "ema_personal",
+                  test_users: Optional[Sequence[int]] = None):
+        """Train the selected clients in parallel, aggregate, personalize.
+
+        ``mode='ema_personal'`` follows the FedOTPLoRA branch (EMA aggregation,
+        group-weighted lora_S, shared_half_s, local prompt rows / lora_S kept
+        for clients listed in args.idxs_users_train); ``mode='fedavg'`` is a
+        plain weighted average of the full trainable with no personalization;
+        ``mode='prompt_personal'`` follows the PromptFL/FedOTP branch — only
+        prompt rows [:avg_prompt] aggregate, every client keeps its own local
+        rows, and non-prompt trainables stay per-client local (the sequential
+        path leaks them between clients through the shared trainer — a
+        time-multiplexing artifact we do not reproduce).
+        """
+        idxs_users = [int(i) for i in idxs_users]
+        m = len(idxs_users)
+        mesh = self._mesh(m)
+        train_fn = self._train_fn(m)
+        trainer = self.trainer
+
+        # --- per-client LR: the reference steps ONE scheduler once per
+        # client-local-epoch, so client j of this round trains at
+        # lr(_lr_steps + j) — reproduced exactly
+        lrs = [trainer.lr_sched.lr(trainer._lr_steps + j) for j in range(m)]
+        trainer._lr_steps += m
+
+        idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
+        sel_t = jax.tree_util.tree_map(lambda x: x[idx_arr], self.personal_t)
+        sel_o = jax.tree_util.tree_map(lambda x: x[idx_arr], self.stacked_o)
+        sel_o.hyperparams["learning_rate"] = jnp.asarray(lrs, jnp.float32)
+
+        batches_np, n_steps = self._round_batches(idxs_users)
+        b_shard = NamedSharding(mesh, P(CLIENT_AXIS, None, DATA_AXIS))
+        c_shard = NamedSharding(mesh, P(CLIENT_AXIS))
+        batches = {k: jax.device_put(v, b_shard) for k, v in batches_np.items()}
+        sel_t = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, c_shard), sel_t)
+        sel_o = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, c_shard), sel_o)
+
+        trained_t, trained_o, metrics = train_fn(
+            sel_t, sel_o, trainer.frozen, batches,
+            jax.device_put(jnp.asarray(n_steps), c_shard))
+
+        # --- aggregation weights (host scalars, fed/aggregate.py semantics)
+        freqs, freqs_by_attr = _freqs(
+            idxs_users, self.datanumber_client,
+            self.datanumber_client_by_attr if mode == "ema_personal" else None)
+        weights = jnp.asarray([freqs[i] for i in idxs_users], jnp.float32)
+        group_w = None
+        if freqs_by_attr is not None:
+            group_w = jnp.asarray(
+                np.stack([freqs_by_attr[i] for i in idxs_users]), jnp.float32)
+        beta_decay = jnp.float32(0.999 * (epoch / max(max_epoch, 1)))
+
+        if test_users is None or len(test_users) == 0:
+            test_users = list(range(self.num_users))
+        update_idx = jnp.asarray(np.asarray(test_users, np.int32))
+        keep_mask = jnp.asarray(
+            np.asarray([i in self.args.idxs_users_train and i in set(test_users)
+                        for i in idxs_users], bool))
+
+        agg = self._agg_fn(mode, group_w is not None)
+        if group_w is None:  # keep the jit signature stable per cache entry
+            self.global_t, self.personal_t = agg(
+                trained_t, self.global_t, self.personal_t, weights,
+                beta_decay, idx_arr, update_idx, keep_mask)
+        else:
+            self.global_t, self.personal_t = agg(
+                trained_t, self.global_t, self.personal_t, weights, group_w,
+                beta_decay, idx_arr, update_idx, keep_mask)
+        # trained optimizer states persist per client across rounds
+        self.stacked_o = jax.tree_util.tree_map(
+            lambda full, sub: full.at[idx_arr].set(sub.astype(full.dtype))
+            if hasattr(full, "at") else sub,
+            self.stacked_o, trained_o)
+
+        # --- metrics: ONE host fetch for the whole round
+        ms = np.asarray(metrics)  # [m, S, 3] — loss, valid, acc (0 on pad)
+        for j, idx in enumerate(idxs_users):
+            nv = max(float(ms[j, :, 1].sum()), 1.0)
+            print(f"client {idx}: steps {int(n_steps[j])} "
+                  f"loss {ms[j, :, 0].sum() / nv:.4f} "
+                  f"acc {ms[j, :, 2].sum() / nv:.4f} lr {lrs[j]:.6e}")
+        return ms
+
+    def _agg_fn(self, mode: str, has_group_w: bool):
+        """Jitted aggregation + personalization program, cached per mode.
+        Index/mask arrays enter as ARGUMENTS — closing over device arrays
+        would embed them as constants and re-trace every round."""
+        key = (mode, has_group_w)
+        if key in getattr(self, "_agg_fns", {}):
+            return self._agg_fns[key]
+        if not hasattr(self, "_agg_fns"):
+            self._agg_fns = {}
+        G = self.num_groups
+        avg_prompt = self.avg_prompt
+        local_s = self.local_s and mode == "ema_personal"
+        shared_half_s = self.shared_half_s and mode == "ema_personal"
+
+        def agg_impl(trained_t, global_t, personal_t, weights, group_w,
+                     beta_decay, idx_arr, update_idx, keep_mask):
+            def wmean(path, x):
+                x32 = x.astype(jnp.float32)
+                if (group_w is not None and "lora_S" in path
+                        and x.ndim >= 3 and x.shape[-2] == G):
+                    w = group_w.reshape(
+                        (x.shape[0],) + (1,) * (x.ndim - 3) + (G, 1))
+                    return (x32 * w).sum(0)
+                w = weights.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+                return (x32 * w).sum(0)
+
+            flat = flatten_paths(trained_t)
+
+            if mode == "prompt_personal":
+                # PromptFL/FedOTP: aggregate ONLY the global prompt rows
+                # (reference federated_main.py:447-485); everything else stays
+                # per-client.
+                ctx_key = next(k for k in flat
+                               if k.endswith("prompt_learner.ctx"))
+                ctx = flat[ctx_key]  # [m, n_prompt, n_ctx, d]
+                w = weights.reshape((ctx.shape[0],) + (1,) * (ctx.ndim - 1))
+                avg_rows = (ctx[:, :avg_prompt].astype(jnp.float32)
+                            * w).sum(0)  # [avg_prompt, n_ctx, d]
+
+                def personalize_p(path, p, g):
+                    tr = flat[path]
+                    if path == ctx_key:
+                        out = p.at[:, :avg_prompt].set(
+                            jnp.broadcast_to(
+                                avg_rows[None],
+                                (p.shape[0],) + avg_rows.shape).astype(p.dtype))
+                        return out.at[idx_arr, avg_prompt:].set(
+                            tr[:, avg_prompt:].astype(p.dtype))
+                    # non-prompt trainables: trained clients keep theirs
+                    return p.at[idx_arr].set(tr.astype(p.dtype))
+
+                def glob_p(path, g):
+                    if path == ctx_key:
+                        return g.at[:avg_prompt].set(avg_rows.astype(g.dtype))
+                    return g
+
+                flat_g = flatten_paths(global_t)
+                new_global = unflatten_paths(
+                    {k: glob_p(k, v) for k, v in flat_g.items()})
+                new_personal = _map2_with_path(
+                    personalize_p, personal_t, new_global)
+                return new_global, new_personal
+
+            avg = unflatten_paths({k: wmean(k, v) for k, v in flat.items()})
+            if shared_half_s:
+                def half_s(path, x):
+                    if "lora_S" in path and x.ndim >= 2 and x.shape[-2] == G:
+                        r = x.shape[-1]
+                        head = x[..., : r // 2].mean(axis=-2, keepdims=True)
+                        head = jnp.broadcast_to(head, x[..., : r // 2].shape)
+                        return jnp.concatenate([head, x[..., r // 2:]], axis=-1)
+                    return x
+                flat_a = flatten_paths(avg)
+                avg = unflatten_paths({k: half_s(k, v) for k, v in flat_a.items()})
+            if mode == "ema_personal":
+                new_global = jax.tree_util.tree_map(
+                    lambda a, g: ((1.0 - beta_decay) * a
+                                  + beta_decay * g.astype(jnp.float32)
+                                  ).astype(g.dtype), avg, global_t)
+            else:  # plain FedAvg
+                new_global = jax.tree_util.tree_map(
+                    lambda a, g: a.astype(g.dtype), avg, global_t)
+
+            # personalization (reference federated_main.py:645-652): rows in
+            # update_idx take the new global; trained clients flagged in
+            # keep_mask then restore their local prompt rows (+ local lora_S)
+            def personalize(path, p, g):
+                out = p.at[update_idx].set(
+                    jnp.broadcast_to(g[None], (update_idx.shape[0],) + g.shape
+                                     ).astype(p.dtype))
+                if mode != "ema_personal":
+                    return out
+                tr = flat[path]
+                if path.endswith("prompt_learner.ctx"):
+                    rows = tr[:, avg_prompt:].astype(p.dtype)
+                    keep = keep_mask.reshape((-1,) + (1,) * (rows.ndim - 1))
+                    cur = out[idx_arr][:, avg_prompt:]
+                    return out.at[idx_arr, avg_prompt:].set(
+                        jnp.where(keep, rows, cur))
+                if local_s and "lora_S" in path:
+                    keep = keep_mask.reshape((-1,) + (1,) * (tr.ndim - 1))
+                    return out.at[idx_arr].set(
+                        jnp.where(keep, tr.astype(p.dtype), out[idx_arr]))
+                return out
+
+            new_personal = _map2_with_path(personalize, personal_t, new_global)
+            return new_global, new_personal
+
+        if has_group_w:
+            fn = jax.jit(agg_impl)
+        else:
+            fn = jax.jit(lambda t, g, p, w, bd, ia, ui, km: agg_impl(
+                t, g, p, w, None, bd, ia, ui, km))
+        self._agg_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------- eval/save
+    def install_client(self, idx: int):
+        """Point the trainer's trainable at client ``idx``'s personalized tree
+        (stays on device — used for eval and final state export)."""
+        i = jnp.asarray(int(idx))
+        self.trainer.trainable = jax.tree_util.tree_map(
+            lambda x: x[i], self.personal_t)
+
+    def final_state_dict(self, idx: int) -> dict:
+        self.install_client(idx)
+        return self.trainer.state_dict()

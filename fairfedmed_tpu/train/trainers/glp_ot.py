@@ -331,10 +331,14 @@ class GLPOTBase(TrainerX):
         return logits, valid, new_stats
 
     # ------------------------------------------------------------- steps
-    def _compile_steps(self):
+    def _build_loss_fn(self):
         cfg = self.cfg
         lam = cfg.TRAINER.LAMBDA_FAIRNESS if self.use_lora else 0.0
         has_attr = not self.disable_attr
+        # the reference's regulariser is accidentally detached (quirk, SURVEY
+        # §2.4); this knob enables the INTENDED differentiable version
+        diff_fair = bool(getattr(cfg.TRAINER.GLP_OT_LORA,
+                                 "DIFFERENTIABLE_FAIRNESS", False))
 
         def loss_fn(trainable, frozen, stats, image, label, attr, ctx_global, mu):
             logits, valid, new_stats = self._forward(trainable, frozen, stats, image, attr, train=True)
@@ -342,12 +346,57 @@ class GLPOTBase(TrainerX):
             loss = cls_loss
             if has_attr and lam != 0.0:
                 loss = loss + lam * fairness_confidence_loss(
-                    logits, label, attr, self.num_groups, differentiable=False)
+                    logits, label, attr, self.num_groups,
+                    differentiable=diff_fair)
             if ctx_global is not None:
                 # FedProx proximal term (promptfl.py:290-293)
                 diff = trainable["prompt_learner"]["ctx"].astype(jnp.float32) - ctx_global
                 loss = loss + (mu / 2.0) * jnp.sum(diff * diff)
             return loss, (logits, valid, new_stats)
+
+        return loss_fn
+
+    def make_parallel_local_step(self, data_axis=None):
+        """Functional per-batch local step for the client-parallel mesh round
+        (fed/parallel_driver.py): ``(trainable, opt_state, frozen, batch) ->
+        (trainable, opt_state, metrics[loss, valid, acc])``.
+
+        ViT backbones only: ResNet's mutable BN statistics would need a
+        per-client stats stream threaded through the round.  When ``data_axis``
+        is given, gradients/metrics are pmean-ed over that mesh axis
+        (within-client data parallelism) and OT validity combines with AND so
+        every data shard takes the same skip decision.
+        """
+        if self.backbone_type != "vit":
+            raise NotImplementedError(
+                "parallel client rounds support ViT backbones only")
+        loss_fn = self._build_loss_fn()
+        tx = self.tx
+
+        def local_step(trainable, opt_state, frozen, batch):
+            (loss, (logits, valid, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, {}, batch["img"], batch["label"],
+                batch.get("attr"), None, jnp.float32(0.0))
+            acc = accuracy_from_logits(logits, batch["label"])
+            if data_axis is not None:
+                grads = jax.lax.pmean(grads, data_axis)
+                loss = jax.lax.pmean(loss, data_axis)
+                acc = jax.lax.pmean(acc, data_axis)
+                valid = jax.lax.pmin(valid.astype(jnp.int32), data_axis).astype(jnp.bool_)
+            updates, new_opt_state = tx.update(grads, opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(valid, a, b), new, old)
+            trainable = keep(new_trainable, trainable)
+            opt_state = keep(new_opt_state, opt_state)
+            metrics = jnp.stack([jnp.where(valid, loss, 0.0),
+                                 valid.astype(jnp.float32), acc])
+            return trainable, opt_state, metrics
+
+        return local_step
+
+    def _compile_steps(self):
+        loss_fn = self._build_loss_fn()
 
         def train_step(trainable, opt_state, stats, frozen, image, label, attr, ctx_global, mu):
             (loss, (logits, valid, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -133,6 +133,31 @@ class _CosineCLIPTrainer(TrainerX):
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._infer = jax.jit(lambda t, f, img: self._forward(t, f, img))
 
+    def make_parallel_local_step(self, data_axis=None):
+        """Functional per-batch step for the client-parallel mesh round
+        (fed/parallel_driver.py).  Works for both backbones: PromptFL keeps
+        the image encoder (incl. BN stats) frozen, so there is no mutable
+        per-client state beyond (trainable, opt_state)."""
+        tx = self.tx
+
+        def loss_fn(trainable, frozen, image, label):
+            logits = self._forward(trainable, frozen, image)
+            return cross_entropy(logits, label), logits
+
+        def local_step(trainable, opt_state, frozen, batch):
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, batch["img"], batch["label"])
+            acc = accuracy_from_logits(logits, batch["label"])
+            if data_axis is not None:
+                grads = jax.lax.pmean(grads, data_axis)
+                loss = jax.lax.pmean(loss, data_axis)
+                acc = jax.lax.pmean(acc, data_axis)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, jnp.stack([loss, jnp.float32(1.0), acc])
+
+        return local_step
+
     def forward_backward(self, batch):
         image, label = self.parse_batch_train(batch)
         ctx_global = getattr(self, "_fedprox_ctx_global", None) if getattr(self, "fedprox", False) else None

@@ -56,6 +56,10 @@ def extend_cfg(cfg, args):
     cfg.TRAINER.GLP_OT_LORA.GLOBAL_S = args.lora_global_s
     cfg.TRAINER.LAMBDA_FAIRNESS = args.lambda_fairness
     cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR = args.disable_attr
+    # intended (differentiable) fairness regulariser — the reference's is
+    # accidentally detached; default False preserves reference behavior
+    cfg.TRAINER.GLP_OT_LORA.DIFFERENTIABLE_FAIRNESS = bool(
+        getattr(args, "differentiable_fairness", False))
 
     cfg.DATASET.SUBSAMPLE_CLASSES = "all"
     cfg.DATASET.USERS = args.num_users
@@ -79,6 +83,9 @@ def extend_cfg(cfg, args):
 
     cfg.MODEL.BACKBONE.PRETRAINED = True
     cfg.DATASET.DISEASE_TYPE = args.disease_type
+    # TPU-native extension: run every selected client's local epoch as ONE
+    # SPMD program over a (clients, data) device mesh (fed/parallel_driver.py)
+    cfg.TRAIN.PARALLEL_CLIENTS = bool(getattr(args, "parallel_clients", False))
 
 
 def reset_cfg(cfg, args):
@@ -164,6 +171,27 @@ def main(args):
                                      for c in datanumber_client_by_attr]
     global_weights = copy.deepcopy(local_trainer.state_dict())
 
+    # client-parallel mesh rounds (TPU-native path): per-client trainables
+    # stay device-resident between rounds; one SPMD program trains every
+    # selected client per round
+    runner = None
+    if cfg.TRAIN.PARALLEL_CLIENTS:
+        supported = (args.model in ("fedavg", "PromptFL", "FedOTP", "FedOTPLoRA")
+                     and args.trainer != "CLIP"
+                     and hasattr(local_trainer, "make_parallel_local_step"))
+        if supported:
+            try:
+                from fairfedmed_tpu.fed.parallel_driver import ParallelRoundRunner
+                runner = ParallelRoundRunner(
+                    local_trainer, cfg, args, datanumber_client,
+                    datanumber_client_by_attr)
+                print("Client-parallel mesh rounds enabled")
+            except NotImplementedError as e:
+                print(f"parallel_clients unavailable ({e}); using sequential rounds")
+        else:
+            print("parallel_clients not supported for this model/trainer; "
+                  "using sequential rounds")
+
     max_epoch = cfg.OPTIM.ROUND
     global_test_acc_list, global_test_error_list = [], []
     global_test_f1_list, global_test_auc_list = [], []
@@ -192,17 +220,26 @@ def main(args):
             idxs_users = np.random.choice(range(args.num_users), m, replace=False)
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            for idx in range(cfg.DATASET.USERS):
-                local_trainer.load_state_dict(global_weights, strict=False)
-                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+            if runner is not None:
+                runner.run_round(epoch, list(idxs_users), max_epoch, mode="fedavg")
+                print("------------local train finish epoch:", epoch, "-------------")
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    runner.install_client(idx)
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -240,26 +277,35 @@ def main(args):
                 idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
+            if runner is not None:
+                runner.run_round(epoch, idxs_users, max_epoch, mode="prompt_personal")
+                print("------------local train finish epoch:", epoch, "-------------")
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    runner.install_client(idx)
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
+                    local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
+                        [global_prompt, local_weights_1[idx]], axis=0
+                    ) if len(local_weights_1[idx]) else global_prompt
+                for idx in range(cfg.DATASET.USERS):
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
-                local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
-            print("------------local test start-------------")
-            results = []
-            for idx in range(cfg.DATASET.USERS):
-                local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
-                    [global_prompt, local_weights_1[idx]], axis=0
-                ) if len(local_weights_1[idx]) else global_prompt
-            for idx in range(cfg.DATASET.USERS):
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -275,41 +321,62 @@ def main(args):
             else:
                 m = max(int(args.frac * args.num_users), 1)
                 idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+            # large-scale eval gating (reference federated_main.py:654-676):
+            # with >= 50 users, per-round testing starts only at epoch 140
+            skip_eval = args.num_users >= 50 and epoch < 140
             print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
+            if runner is not None:
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                runner.run_round(epoch, idxs_users, max_epoch,
+                                 mode="ema_personal", test_users=all_users)
+                print("------------local train finish epoch:", epoch, "-------------")
+                print("Use EMA")
+                if skip_eval:
+                    print("Epoch on server :", epoch)
+                    continue
+                print("------------local test start-------------")
+                results = []
+                for idx in all_users:
+                    runner.install_client(idx)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                        is_last_client=idx == idxs_users[-1])
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                    local_weights[idx] = copy.deepcopy(local_weight)
+                print("------------local train finish epoch:", epoch, "-------------")
+
+                print("Use EMA")
+                global_weights = average_weights_ema(
+                    global_weights, local_weights, idxs_users, datanumber_client,
+                    datanumber_client_by_attr, epoch, max_epoch,
+                    shared_half_s=args.shared_half_s)
+
+                print("------------local test start-------------")
+                results = []
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                for idx in all_users:
+                    local_weights_per[idx] = copy.deepcopy(global_weights)
+                    if idx in args.idxs_users_train:
+                        # keep local embeddings (reference keeps them only for
+                        # explicitly listed training users, federated_main.py:648-652)
+                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                        if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                            for k, v in local_weights_1[idx].items():
+                                local_weights_per[idx][k] = v
+                if skip_eval:
+                    print("Epoch on server :", epoch)
+                    continue
+                for idx in all_users:
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                    is_last_client=idx == idxs_users[-1])
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                local_weights[idx] = copy.deepcopy(local_weight)
-            print("------------local train finish epoch:", epoch, "-------------")
-
-            print("Use EMA")
-            global_weights = average_weights_ema(
-                global_weights, local_weights, idxs_users, datanumber_client,
-                datanumber_client_by_attr, epoch, max_epoch,
-                shared_half_s=args.shared_half_s)
-
-            print("------------local test start-------------")
-            results = []
-            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-            for idx in all_users:
-                local_weights_per[idx] = copy.deepcopy(global_weights)
-                if idx in args.idxs_users_train:
-                    # keep local embeddings (reference keeps them only for
-                    # explicitly listed training users, federated_main.py:648-652)
-                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
-                        for k, v in local_weights_1[idx].items():
-                            local_weights_per[idx][k] = v
-            for idx in all_users:
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -382,7 +449,10 @@ def main(args):
     import os
 
     for idx in range(cfg.DATASET.USERS):
-        state = local_weights_per[idx] if local_weights_per[idx] else global_weights
+        if runner is not None:
+            state = runner.final_state_dict(idx)  # one device pull per client
+        else:
+            state = local_weights_per[idx] if local_weights_per[idx] else global_weights
         path = os.path.join(cfg.OUTPUT_DIR, f"global_client{idx}_final.npz")
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         np.savez(path, **{k: np.asarray(v) for k, v in state.items()})
@@ -487,9 +557,15 @@ def build_arg_parser():
     parser.add_argument("--shared_half_s", type=bool, default=False)
     parser.add_argument("--lora_global_s", type=bool, default=False)
     parser.add_argument("--lambda_fairness", type=float, default=0.0)
+    parser.add_argument("--differentiable_fairness", action="store_true",
+                        help="let the fairness regulariser contribute "
+                             "gradients (the reference detaches it)")
     parser.add_argument("--idxs_users_train", type=list, default=[])
     parser.add_argument("--idxs_users_test", type=list, default=[])
     parser.add_argument("--disable_attr", action="store_true")
+    parser.add_argument("--parallel_clients", action="store_true",
+                        help="run each round's selected clients as one SPMD "
+                             "program over a (clients, data) device mesh")
     parser.add_argument("--logdir", type=str, required=False, default="./logs/")
     parser.add_argument("--root", type=str, default="/DATA/")
     parser.add_argument("--output-dir", type=str, default="output/..")

@@ -1,0 +1,89 @@
+"""CLI e2e: --parallel_clients mesh rounds vs the sequential host loop.
+
+The client-parallel path (fed/parallel_driver.py) must reproduce the
+sequential FedOTPLoRA round semantics (reference federated_main.py:604-726).
+With a momentum-free optimizer the sequential path's shared-optimizer quirk
+vanishes, so the two paths must agree to float tolerance — weights AND
+metrics.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+import federated_main  # noqa: E402
+
+from tests.fixtures import make_cifar10_fixture, make_fairfedmed_fixture  # noqa: E402
+
+
+def _args(**overrides):
+    parser = federated_main.build_arg_parser()
+    args = parser.parse_args([])
+    args.opts = []
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+@pytest.fixture(scope="module")
+def fairfedmed_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+    return str(root)
+
+
+def _fairlora_args(root, outdir, parallel):
+    return _args(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+        frac=1.0, root=root, output_dir=outdir,
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit", attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA", shared_half_s=True,
+        parallel_clients=parallel,
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph",
+              "TRAINER.GLP_OT.PREC", "fp32",
+              "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
+              "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+              "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+    )
+
+
+def test_parallel_matches_sequential_fairlora(fairfedmed_root, tmp_path):
+    out_seq = federated_main.main(
+        _fairlora_args(fairfedmed_root, str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _fairlora_args(fairfedmed_root, str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+
+    # final per-client states must coincide leaf-for-leaf
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        assert set(seq.files) == set(par.files)
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
+
+
+def test_parallel_promptfl_fedavg_runs(tmp_path):
+    root = str(tmp_path / "cifar")
+    make_cifar10_fixture(root, n_train=80, n_test=40)
+    args = _args(
+        model="fedavg", trainer="PromptFL", round=1, num_users=2, frac=1.0,
+        partition="homo", root=root, output_dir=str(tmp_path / "out"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-vit",
+        parallel_clients=True, config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 1
+    assert np.isfinite(out["acc"][0])

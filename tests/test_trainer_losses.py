@@ -76,3 +76,64 @@ def test_cross_entropy_matches_manual():
     p = np.asarray(jax.nn.log_softmax(logits, -1))
     expected = -p[np.arange(12), np.asarray(labels)].mean()
     assert abs(loss - expected) < 1e-6
+
+
+def test_differentiable_fairness_knob_plumbs(tmp_path):
+    """TRAINER.GLP_OT_LORA.DIFFERENTIABLE_FAIRNESS must reach the trainer's
+    loss: same loss value either way, different gradients when on."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import federated_main
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.train import build_trainer
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=8, n_test=4, size=32)
+
+    def build(diff):
+        parser = federated_main.build_arg_parser()
+        args = parser.parse_args([])
+        args.opts = []
+        for k, v in dict(
+            model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=1,
+            frac=1.0, root=str(tmp_path), output_dir=str(tmp_path / "o"),
+            train_batch_size=4, test_batch_size=4, n_ctx=4, num_prompt=2,
+            avg_prompt=1, OT="None", backbone="test-vit", attribute_type="race",
+            attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+            modality_type="slo_fundus", unfreeze_image_encoder=True,
+            lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+            lambda_fairness=0.5, differentiable_fairness=diff,
+            config_file="", dataset_config_file="",
+            opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)",
+                  "SEED", "1", "TEST.EVALUATOR", "Classification_oph",
+                  "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+                  "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+        ).items():
+            setattr(args, k, v)
+        cfg = federated_main.setup_cfg(args)
+        return build_trainer(cfg)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 255, (4, 3, 32, 32)), jnp.float32)
+    label = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    attr = jnp.asarray([0, 1, 2, 0], jnp.int32)
+
+    grads = {}
+    losses = {}
+    for diff in (False, True):
+        tr = build(diff)
+        loss_fn = tr._build_loss_fn()
+
+        def scalar(t):
+            return loss_fn(t, tr.frozen, {}, image, label, attr, None,
+                           jnp.float32(0.0))[0]
+
+        losses[diff] = float(scalar(tr.trainable))
+        grads[diff] = jax.grad(scalar)(tr.trainable)
+
+    # fairness term contributes to the VALUE either way
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+    # ... but to the GRADIENT only when differentiable
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), grads[True], grads[False])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
