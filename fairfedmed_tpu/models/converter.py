@@ -92,11 +92,49 @@ def load_torch_state_dict(path: str) -> dict:
     return {k: v.cpu().numpy() for k, v in sd.items()}
 
 
+def infer_rn_config(sd: dict):
+    """ModifiedResNet architecture inference from checkpoint shapes
+    (clip/model.py:643-656): any RN variant — RN50/101/50x4/50x16 — derives
+    ``layers/width/embed_dim/heads/input_resolution`` from the state_dict, no
+    preset table needed.  Returns ``(ResNetConfig, CLIPConfig)``."""
+    from .resnet_clip import ResNetConfig
+
+    counts = tuple(
+        len(set(k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")))
+        for b in (1, 2, 3, 4))
+    vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    pos = sd["visual.attnpool.positional_embedding"].shape[0]
+    output_width = int(round((pos - 1) ** 0.5))
+    assert output_width ** 2 + 1 == pos
+    image_resolution = output_width * 32
+    embed_dim = sd["text_projection"].shape[1]
+    transformer_width = sd["ln_final.weight"].shape[0]
+    rn_cfg = ResNetConfig(
+        layers=counts,
+        output_dim=embed_dim,
+        heads=vision_width * 32 // 64,
+        input_resolution=image_resolution,
+        width=vision_width,
+    )
+    clip_cfg = CLIPConfig(
+        embed_dim=embed_dim,
+        image_resolution=image_resolution,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=transformer_width,
+        transformer_heads=transformer_width // 64,
+        transformer_layers=len(set(
+            k.split(".")[2] for k in sd if k.startswith("transformer.resblocks"))),
+    )
+    return rn_cfg, clip_cfg
+
+
 def infer_config(sd: dict) -> CLIPConfig:
-    """Architecture inference from checkpoint keys (clip/model.py:633-656)."""
+    """Architecture inference from checkpoint keys (clip/model.py:633-656).
+    ViT checkpoints only — ResNet checkpoints go through infer_rn_config."""
     vit = "visual.proj" in sd
     if not vit:
-        raise NotImplementedError("ResNet CLIP conversion handled by resnet converter")
+        raise NotImplementedError("ResNet CLIP conversion handled by infer_rn_config")
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len([k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
     patch = sd["visual.conv1.weight"].shape[-1]

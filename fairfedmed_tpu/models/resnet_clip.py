@@ -49,8 +49,14 @@ class ResNetConfig:
 
 
 RN_PRESETS = {
+    # random-init fallback only — checkpoints infer their architecture from
+    # shapes (converter.infer_rn_config, mirroring clip/model.py:643-656)
     "RN50": ResNetConfig(),
     "RN101": ResNetConfig(layers=(3, 4, 23, 3), output_dim=512),
+    "RN50x4": ResNetConfig(layers=(4, 6, 10, 6), output_dim=640, heads=40,
+                           input_resolution=288, width=80),
+    "RN50x16": ResNetConfig(layers=(6, 8, 18, 8), output_dim=768, heads=48,
+                            input_resolution=384, width=96),
     "test-rn": ResNetConfig(layers=(1, 1, 1, 1), output_dim=64, heads=8,
                             input_resolution=32, width=16),
 }

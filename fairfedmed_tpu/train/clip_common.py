@@ -40,6 +40,10 @@ RN_TEXT_CONFIGS = {
                        transformer_layers=12),
     "RN101": CLIPConfig(embed_dim=512, transformer_width=512, transformer_heads=8,
                         transformer_layers=12),
+    "RN50x4": CLIPConfig(embed_dim=640, image_resolution=288, transformer_width=640,
+                         transformer_heads=10, transformer_layers=12),
+    "RN50x16": CLIPConfig(embed_dim=768, image_resolution=384, transformer_width=768,
+                          transformer_heads=12, transformer_layers=12),
     "test-rn": CLIPConfig(embed_dim=64, image_resolution=32, transformer_width=64,
                           transformer_heads=4, transformer_layers=2),
 }
@@ -69,19 +73,22 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
     seed_key = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
 
     if _is_resnet(name):
-        rn_cfg = resnet_clip.RN_PRESETS[name]
-        clip_cfg = RN_TEXT_CONFIGS[name]
         ckpt = converter.find_checkpoint(name, root=cfg.DATASET.ROOT) \
             if (cfg.MODEL.BACKBONE.PRETRAINED and not name.startswith("test")) else None
         if ckpt is not None:
             print(f"Loading CLIP (backbone: {name}) from {ckpt}")
             sd = converter.load_torch_state_dict(ckpt)
+            # any RN variant loads via shape inference (clip/model.py:643-656)
+            # — no preset required, RN50x4/x16 included
+            rn_cfg, clip_cfg = converter.infer_rn_config(sd)
             visual, bn, stats = resnet_clip.convert_resnet_visual(sd, rn_cfg)
             text_params = converter.convert_text_tower(sd)
             params = {"visual": visual, "text": text_params["text"],
                       "logit_scale": text_params["logit_scale"]}
             pretrained = True
         else:
+            rn_cfg = resnet_clip.RN_PRESETS[name]
+            clip_cfg = RN_TEXT_CONFIGS[name]
             if not name.startswith("test"):
                 print(f"WARNING: no checkpoint found for {name}; using random init")
             # one jitted program: eager per-leaf init round-trips per op,

@@ -117,3 +117,109 @@ def test_download_checkpoint_errors(tmp_path):
     with pytest.raises(RuntimeError):
         download_checkpoint("not-a-model")
     assert MODEL_FILES["ViT-B/16"] == "ViT-B-16.pt"
+
+
+def _rn_shape_sd(layers, width, resolution, embed_dim, t_width, t_layers,
+                 context=77, vocab=49408):
+    """Minimal RN-shaped state_dict: only the keys/shapes infer_rn_config
+    reads (values are zeros — shape inference never looks at values)."""
+    sd = {}
+    for b, n in enumerate(layers, start=1):
+        planes = width * (2 ** (b - 1))
+        for i in range(n):
+            sd[f"visual.layer{b}.{i}.conv1.weight"] = np.zeros(
+                (planes, 1, 1, 1), np.float32)
+    spatial = resolution // 32
+    sd["visual.attnpool.positional_embedding"] = np.zeros(
+        (spatial * spatial + 1, width * 32), np.float32)
+    sd["text_projection"] = np.zeros((t_width, embed_dim), np.float32)
+    sd["positional_embedding"] = np.zeros((context, t_width), np.float32)
+    sd["token_embedding.weight"] = np.zeros((vocab, t_width), np.float32)
+    sd["ln_final.weight"] = np.zeros((t_width,), np.float32)
+    for i in range(t_layers):
+        sd[f"transformer.resblocks.{i}.ln_1.weight"] = np.zeros((t_width,), np.float32)
+    return sd
+
+
+def test_infer_rn_config_rn50x4_shapes():
+    """An RN50x4-shaped checkpoint must infer its full architecture from
+    shapes (clip/model.py:643-656) — no preset lookup."""
+    from fairfedmed_tpu.models.converter import infer_rn_config
+
+    sd = _rn_shape_sd(layers=(4, 6, 10, 6), width=80, resolution=288,
+                      embed_dim=640, t_width=640, t_layers=12)
+    rn_cfg, clip_cfg = infer_rn_config(sd)
+    assert rn_cfg.layers == (4, 6, 10, 6)
+    assert rn_cfg.width == 80
+    assert rn_cfg.input_resolution == 288
+    assert rn_cfg.output_dim == 640
+    assert rn_cfg.heads == 80 * 32 // 64
+    assert clip_cfg.embed_dim == 640
+    assert clip_cfg.transformer_width == 640
+    assert clip_cfg.transformer_heads == 10
+    assert clip_cfg.transformer_layers == 12
+
+
+def test_infer_rn_config_roundtrips_synthetic_checkpoint():
+    """Full loop: init a tiny non-preset RN variant, export reference-named
+    keys, re-infer the config, convert, and compare the forward pass."""
+    import jax
+    import jax.numpy as jnp
+    from fairfedmed_tpu.core.precision import policy_from_prec
+    from fairfedmed_tpu.models.converter import infer_rn_config
+    from fairfedmed_tpu.models.resnet_clip import (
+        ResNetConfig, convert_resnet_visual, init_modified_resnet, resnet_encode,
+    )
+
+    cfg = ResNetConfig(layers=(2, 1, 1, 2), output_dim=96, heads=8,
+                       input_resolution=64, width=16)
+    visual, bn, stats = init_modified_resnet(jax.random.PRNGKey(0), cfg)
+
+    # export with the reference's key naming (clip/model.py ModifiedResNet)
+    sd = {}
+    stem = visual["stem"]
+    for i, name in enumerate(("conv1", "conv2", "conv3"), start=1):
+        sd[f"visual.{name}.weight"] = np.asarray(stem[name])
+        sd[f"visual.bn{i}.weight"] = np.asarray(bn["stem"][f"bn{i}"]["weight"])
+        sd[f"visual.bn{i}.bias"] = np.asarray(bn["stem"][f"bn{i}"]["bias"])
+        sd[f"visual.bn{i}.running_mean"] = np.asarray(stats["stem"][f"bn{i}"]["mean"])
+        sd[f"visual.bn{i}.running_var"] = np.asarray(stats["stem"][f"bn{i}"]["var"])
+    for li, nblocks in enumerate(cfg.layers):
+        lname = f"layer{li + 1}"
+        for bi in range(nblocks):
+            pre = f"visual.{lname}.{bi}"
+            blk_p, blk_b, blk_s = (visual[lname][bi], bn[lname][bi], stats[lname][bi])
+            for cn in ("conv1", "conv2", "conv3"):
+                sd[f"{pre}.{cn}.weight"] = np.asarray(blk_p[cn])
+            for bname in blk_b:
+                if bname.startswith("bn"):
+                    sd[f"{pre}.{bname}.weight"] = np.asarray(blk_b[bname]["weight"])
+                    sd[f"{pre}.{bname}.bias"] = np.asarray(blk_b[bname]["bias"])
+                    sd[f"{pre}.{bname}.running_mean"] = np.asarray(blk_s[bname]["mean"])
+                    sd[f"{pre}.{bname}.running_var"] = np.asarray(blk_s[bname]["var"])
+            if "downsample" in blk_p:
+                sd[f"{pre}.downsample.0.weight"] = np.asarray(blk_p["downsample"])
+                sd[f"{pre}.downsample.1.weight"] = np.asarray(blk_b["downsample_bn"]["weight"])
+                sd[f"{pre}.downsample.1.bias"] = np.asarray(blk_b["downsample_bn"]["bias"])
+                sd[f"{pre}.downsample.1.running_mean"] = np.asarray(blk_s["downsample_bn"]["mean"])
+                sd[f"{pre}.downsample.1.running_var"] = np.asarray(blk_s["downsample_bn"]["var"])
+    ap = visual["attnpool"]
+    sd["visual.attnpool.positional_embedding"] = np.asarray(ap["positional_embedding"])
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        sd[f"visual.attnpool.{proj}.weight"] = np.asarray(ap[proj]["weight"])
+        sd[f"visual.attnpool.{proj}.bias"] = np.asarray(ap[proj]["bias"])
+    # text keys only for shape inference (never overwrite visual.* exports)
+    sd.update({k: v for k, v in _rn_shape_sd(
+        layers=(1,), width=16, resolution=64, embed_dim=cfg.output_dim,
+        t_width=64, t_layers=2).items() if not k.startswith("visual.")})
+
+    rn_cfg, _ = infer_rn_config(sd)
+    assert rn_cfg == cfg
+
+    visual2, bn2, stats2 = convert_resnet_visual(sd, rn_cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 64, 64)), jnp.float32)
+    policy = policy_from_prec("fp32")
+    y1, _ = resnet_encode(visual, bn, stats, x, cfg, policy, train=False)
+    y2, _ = resnet_encode(visual2, bn2, stats2, x, rn_cfg, policy, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
