@@ -66,6 +66,29 @@ def select_by_path(tree: Any, predicate: Callable[[str], bool], sep: str = ".") 
     return unflatten_paths({k: v for k, v in flat.items() if predicate(k)}, sep=sep)
 
 
+def replace_leaves_by_path(tree: Any, flat: Mapping[str, Any],
+                           prefix: str = "", sep: str = ".") -> Any:
+    """Rebuild ``tree`` with every leaf whose dotted path (+``prefix``) appears
+    in ``flat`` replaced by the mapped value (cast to the leaf's dtype).
+    Preserves list/dict structure exactly, including empty containers."""
+    def rec(node, path):
+        if isinstance(node, Mapping):
+            return {k: rec(v, f"{path}{sep}{k}" if path else str(k))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            out = [rec(v, f"{path}{sep}{i}" if path else str(i))
+                   for i, v in enumerate(node)]
+            return out if isinstance(node, list) else tuple(out)
+        new = flat.get(path)
+        if new is None:
+            return node
+        import jax.numpy as jnp
+
+        return jnp.asarray(new, node.dtype) if hasattr(node, "dtype") else new
+
+    return rec(tree, prefix)
+
+
 def merge_trees(base: Any, update: Any) -> Any:
     """Deep merge: leaves in ``update`` override those in ``base``."""
     flat = flatten_paths(base)

@@ -176,33 +176,49 @@ def transformer(
     lora: Optional[dict] = None,
     attr_mix: Optional[jnp.ndarray] = None,
     lora_scaling: float = 0.0,
-    remat: bool = True,
+    remat="full",
 ) -> jnp.ndarray:
     """Scan one residual block body over layer-stacked params (and adapters).
 
-    ``remat`` checkpoints each block: without it the scan saves every layer's
-    [B, L, 4D] MLP activations for backward (~18 GB for ViT-B/16 at batch 128
-    — OOM on a 16 GB chip); recomputing them costs ~⅓ extra FLOPs and lets
-    batch scale to the MXU-efficient regime.
+    ``remat`` selects the rematerialization policy per block:
+
+    * ``"full"`` (or True) — checkpoint everything: without it the scan saves
+      every layer's [B, L, 4D] MLP activations for backward (~18 GB for
+      ViT-B/16 at batch 128 — OOM on a 16 GB chip); recomputing costs ~⅓
+      extra FLOPs and lets batch scale to the MXU-efficient regime;
+    * ``"dots"`` — save matmul outputs, recompute only elementwise ops
+      (LayerNorm/GELU/softmax): nearly the FLOPs of no-remat at a fraction
+      of its memory;
+    * ``"none"`` (or False) — save everything.
     """
+    if remat is True:
+        remat = "full"
+    if remat is False or remat is None:
+        remat = "none"
+    if remat == "full":
+        wrap = lambda f: jax.checkpoint(f, prevent_cse=False)
+    elif remat == "dots":
+        wrap = lambda f: jax.checkpoint(
+            f, prevent_cse=False,
+            policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat == "none":
+        wrap = lambda f: f
+    else:
+        raise ValueError(f"unknown remat policy {remat!r}")
 
     if lora is None:
         def body(h, bp):
             h = h + multi_head_attention(bp["attn"], layer_norm(bp["ln_1"], h), num_heads, mask)
             h = h + mlp_block(bp["mlp"], layer_norm(bp["ln_2"], h))
             return h, None
-        if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
-        x, _ = jax.lax.scan(body, x, blocks)
+        x, _ = jax.lax.scan(wrap(body), x, blocks)
     else:
         def body_lora(h, layer):
             bp, lp = layer
             h = h + multi_head_attention(bp["attn"], layer_norm(bp["ln_1"], h), num_heads, mask)
             h = h + mlp_block(bp["mlp"], layer_norm(bp["ln_2"], h), lp, attr_mix, lora_scaling)
             return h, None
-        if remat:
-            body_lora = jax.checkpoint(body_lora, prevent_cse=False)
-        x, _ = jax.lax.scan(body_lora, x, (blocks, lora))
+        x, _ = jax.lax.scan(wrap(body_lora), x, (blocks, lora))
     return x
 
 
@@ -219,12 +235,14 @@ def vit_encode(
     lora: Optional[dict] = None,
     attr_mix: Optional[jnp.ndarray] = None,
     lora_scaling: float = 0.0,
+    remat="full",
 ) -> jnp.ndarray:
     """ViT image encoder.
 
     image: [B, 3, H, W].  Returns [B, embed_dim] (pooled, clip/model.py:377-411)
     or [B, 1+L, embed_dim] with CLS first when ``return_tokens`` (the GLP_OT
-    ModifiedVisionTransformer path, clip/model.py:413-449).
+    ModifiedVisionTransformer path, clip/model.py:413-449).  ``remat`` selects
+    the per-block rematerialization policy (see :func:`transformer`).
     """
     x = image.astype(policy.compute_dtype)
     p = cfg.vision_patch_size
@@ -247,7 +265,7 @@ def vit_encode(
 
     x = transformer(
         visual["blocks"], x, cfg.vision_heads,
-        lora=lora, attr_mix=attr_mix, lora_scaling=lora_scaling,
+        lora=lora, attr_mix=attr_mix, lora_scaling=lora_scaling, remat=remat,
     )
 
     proj = visual["proj"].astype(x.dtype)

@@ -226,32 +226,43 @@ class CLIP(_CosineCLIPTrainer):
 
 @TRAINER_REGISTRY.register()
 class Baseline(TrainerX):
-    """Supervised backbone+head baseline (trainers/promptfl.py:348-372 +
-    SimpleNet).  Uses a compact conv backbone suitable for CIFAR-scale inputs."""
+    """Supervised backbone (+MLP head) + linear classifier — SimpleNet parity
+    (trainers/promptfl.py:348-372 + Dassl/dassl/engine/trainer.py:48-105).
+
+    Honors ``MODEL.BACKBONE.NAME`` (functional registry in
+    models/backbones.py: resnet18/34/50, cnn3 default) and ``MODEL.HEAD.*``
+    (mlp).  BatchNorm running stats thread through the jitted step and travel
+    in the federated state dict."""
 
     def build_model(self):
         cfg = self.cfg
         self.n_cls = self.dm.num_classes
         rng = jax.random.PRNGKey(cfg.SEED if cfg.SEED >= 0 else 0)
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
-        w = 64
+        kb, kh, kc = jax.random.split(rng, 3)
+        from ...models.backbones import build_backbone, build_head
 
-        def conv_init(key, cout, cin, k):
-            fan_in = cin * k * k
-            return jax.random.normal(key, (cout, cin, k, k)) * (2.0 / fan_in) ** 0.5
-
-        self.trainable = {
-            "backbone": {
-                "conv1": conv_init(k1, w, 3, 3),
-                "conv2": conv_init(k2, 2 * w, w, 3),
-                "conv3": conv_init(k3, 4 * w, 2 * w, 3),
-            },
-            "classifier": {
-                "weight": jax.random.normal(k4, (self.n_cls, 4 * w)) * 0.01,
-                "bias": jnp.zeros((self.n_cls,)),
-            },
+        name = cfg.MODEL.BACKBONE.NAME or "cnn3"
+        if cfg.MODEL.BACKBONE.PRETRAINED and name != "cnn3":
+            print(f"NOTE: pretrained {name} weights unavailable offline; "
+                  f"using random init")
+        bb_init, bb_apply, fdim = build_backbone(name)
+        bb_params, bb_stats = bb_init(kb)
+        trainable = {"backbone": bb_params}
+        stats = {"backbone": bb_stats}
+        head_apply = None
+        if cfg.MODEL.HEAD.NAME and cfg.MODEL.HEAD.HIDDEN_LAYERS:
+            h_init, head_apply, fdim = build_head(
+                cfg.MODEL.HEAD.NAME, fdim, cfg.MODEL.HEAD.HIDDEN_LAYERS,
+                activation=cfg.MODEL.HEAD.ACTIVATION, bn=cfg.MODEL.HEAD.BN,
+                dropout=cfg.MODEL.HEAD.DROPOUT)
+            trainable["head"], stats["head"] = h_init(kh)
+        trainable["classifier"] = {
+            "weight": jax.random.normal(kc, (self.n_cls, fdim)) * 0.01,
+            "bias": jnp.zeros((self.n_cls,)),
         }
+        self.trainable, self.stats = trainable, stats
         self.frozen = {}
+        self.fdim = fdim
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
@@ -259,34 +270,36 @@ class Baseline(TrainerX):
         # LR otherwise stays at base OPTIM.LR for the whole first epoch
         self.opt_state = set_learning_rate(self.opt_state, self.lr_sched.lr(0))
 
-        def forward(t, image):
+        def forward(t, stats, image, train):
             x = image.astype(jnp.float32)
             if x.ndim == 4 and x.shape[-1] in (1, 3):
                 x = x.transpose(0, 3, 1, 2) / 255.0
-            for name in ("conv1", "conv2", "conv3"):
-                x = jax.lax.conv_general_dilated(
-                    x, t["backbone"][name], window_strides=(2, 2), padding="SAME",
-                    dimension_numbers=("NCHW", "OIHW", "NCHW"))
-                x = jax.nn.relu(x)
-            x = x.mean((2, 3))
-            return x @ t["classifier"]["weight"].T + t["classifier"]["bias"]
+            f, new_bb = bb_apply(t["backbone"], stats["backbone"], x, train)
+            new_stats = {"backbone": new_bb}
+            if head_apply is not None:
+                f, new_h = head_apply(t["head"], stats["head"], f, train)
+                new_stats["head"] = new_h
+            logits = f @ t["classifier"]["weight"].T + t["classifier"]["bias"]
+            return logits, new_stats
 
-        def train_step(t, opt_state, image, label):
+        def train_step(t, opt_state, stats, image, label):
             def loss_fn(t):
-                logits = forward(t, image)
-                return cross_entropy(logits, label), logits
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(t)
+                logits, new_stats = forward(t, stats, image, True)
+                return cross_entropy(logits, label), (logits, new_stats)
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(t)
             updates, opt_state = self.tx.update(grads, opt_state, t)
             t = optax.apply_updates(t, updates)
-            return t, opt_state, {"loss": loss, "acc": accuracy_from_logits(logits, label)}
+            return t, opt_state, new_stats, {
+                "loss": loss, "acc": accuracy_from_logits(logits, label)}
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._infer = jax.jit(forward)
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._infer = jax.jit(lambda t, stats, img: forward(t, stats, img, False)[0])
 
     def forward_backward(self, batch):
         image, label = jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
-        self.trainable, self.opt_state, m = self._train_step(
-            self.trainable, self.opt_state, image, label)
+        self.trainable, self.opt_state, self.stats, m = self._train_step(
+            self.trainable, self.opt_state, self.stats, image, label)
         loss = float(m["loss"])
         self.detect_anomaly(loss)
         if (self.batch_idx + 1) == self.num_batches:
@@ -295,20 +308,26 @@ class Baseline(TrainerX):
         return {"loss": loss, "acc": float(m["acc"])}
 
     def model_inference(self, inp, attr=None):
-        return self._infer(self.trainable, jnp.asarray(inp))
+        return self._infer(self.trainable, self.stats, jnp.asarray(inp))
 
     def state_dict(self):
         from ...core.pytree import flatten_paths
 
-        return {k: np.asarray(v, np.float32) for k, v in flatten_paths(self.trainable).items()}
+        out = {k: np.asarray(v, np.float32)
+               for k, v in flatten_paths(self.trainable).items()}
+        # BN running stats travel with the federated state (cf. the GLP RN
+        # path; averaging running stats across clients is the FedAvg norm)
+        out.update({f"stats.{k}": np.asarray(v, np.float32)
+                    for k, v in flatten_paths(self.stats).items()})
+        return out
 
     def load_state_dict(self, state, strict=False):
-        from ...core.pytree import unflatten_paths
+        from ...core.pytree import replace_leaves_by_path
 
-        cur = self.trainable
-        new = unflatten_paths({k: v for k, v in state.items()})
-        self.trainable = jax.tree_util.tree_map(
-            lambda c, n: jnp.asarray(n, c.dtype), cur, new)
+        self.trainable = replace_leaves_by_path(self.trainable, state)
+        self.stats = replace_leaves_by_path(
+            self.stats, {k[len("stats."):]: v for k, v in state.items()
+                         if k.startswith("stats.")})
 
     def named_parameters(self):
         return self.state_dict()
