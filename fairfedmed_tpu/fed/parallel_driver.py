@@ -95,6 +95,27 @@ class ParallelRoundRunner:
         self.global_t = trainer.trainable
         self._meshes = {}
         self._train_fns = {}
+        self._data_cache = {}  # client idx -> device-resident decoded arrays
+        self._agg_fns = {}
+
+        # fused per-round programs: ONE dispatch each instead of one eager op
+        # per pytree leaf (each eager op costs a tunnel round-trip on a
+        # remote-TPU attachment)
+        @jax.jit
+        def gather_fn(personal_t, stacked_o, idx, lrs):
+            sel_t = jax.tree_util.tree_map(lambda x: x[idx], personal_t)
+            sel_o = jax.tree_util.tree_map(lambda x: x[idx], stacked_o)
+            sel_o.hyperparams["learning_rate"] = lrs
+            return sel_t, sel_o
+
+        @jax.jit
+        def scatter_fn(stacked_o, trained_o, idx):
+            return jax.tree_util.tree_map(
+                lambda full, sub: full.at[idx].set(sub.astype(full.dtype)),
+                stacked_o, trained_o)
+
+        self._gather_fn = gather_fn
+        self._scatter_fn = scatter_fn
         self._attr_col = None
         if not getattr(trainer, "disable_attr", True):
             self._attr_col = list(cfg.DATASET.ATTRIBUTES).index(
@@ -127,6 +148,72 @@ class ParallelRoundRunner:
             local_step = self.trainer.make_parallel_local_step(data_axis=d_axis)
             self._train_fns[m] = make_client_train_round(mesh, local_step)
         return self._train_fns[m]
+
+    def _ensure_device_cache(self, idx: int):
+        """Decode client ``idx``'s train set ONCE and keep it device-resident.
+
+        Only for transform-free pipelines (the medical datasets normalize on
+        device inside the jitted step): with a host-side random transform the
+        per-epoch images differ and must be re-decoded.  Falls back (None)
+        when the pipeline has transforms/samplers or the set exceeds the
+        cache cap (FAIRFEDMED_DEVICE_CACHE_BYTES, default 4 GiB)."""
+        import os
+
+        if idx in self._data_cache:
+            return self._data_cache[idx]
+        loader = self.trainer.fed_train_loader_x_dict[idx]
+        ds = loader.dataset
+        if (loader.transform is not None or loader.sampler is not None
+                or not hasattr(ds, "load_item")):
+            self._data_cache[idx] = None
+            return None
+        n = len(ds)
+        if hasattr(ds, "prefetch"):
+            ds.prefetch(range(n))
+        items = [ds.load_item(i) for i in range(n)]
+        imgs = np.stack([it[0] for it in items]).astype(np.float32)
+        cap = int(os.environ.get("FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
+        if imgs.nbytes > cap:
+            self._data_cache[idx] = None
+            return None
+        cache = {"img": jax.device_put(imgs),
+                 "label": jax.device_put(np.asarray(
+                     [it[1] for it in items], np.int32))}
+        if self._attr_col is not None:
+            cache["attr"] = jax.device_put(np.stack(
+                [it[2] for it in items])[:, self._attr_col].astype(np.int32))
+        self._data_cache[idx] = cache
+        return cache
+
+    def _round_batches_device(self, idxs_users: Sequence[int]):
+        """Per-round batch streams as DEVICE gathers over the cached decoded
+        sets — the only host work is drawing the same ``np.random.permutation``
+        the sequential loader would (RNG parity with ClientLoader._indices)."""
+        caches = [self._ensure_device_cache(i) for i in idxs_users]
+        if any(c is None for c in caches):
+            return None, None
+        bs = self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+        idx_mats, n_steps = [], []
+        for c in caches:
+            n = int(c["label"].shape[0])
+            perm = np.random.permutation(n)
+            stop = (n // bs) * bs if n >= bs else n
+            sel = perm[:stop]
+            if stop < bs:  # short client: one batch padded by cycling
+                sel = np.resize(sel, bs)
+            steps = max(stop // bs, 1)
+            idx_mats.append(sel.reshape(steps, bs))
+            n_steps.append(steps)
+        S = max(n_steps)
+        out = {k: [] for k in caches[0]}
+        for c, mat, steps in zip(caches, idx_mats, n_steps):
+            if steps < S:  # pad steps (masked by n_steps in the scan)
+                mat = np.concatenate([mat, np.repeat(mat[:1], S - steps, axis=0)])
+            mi = jnp.asarray(mat, jnp.int32)
+            for k in out:
+                out[k].append(c[k][mi])
+        return {k: jnp.stack(v) for k, v in out.items()}, \
+            np.asarray(n_steps, np.int32)
 
     def _round_batches(self, idxs_users: Sequence[int]):
         """Drain each selected client's train loader into stacked arrays
@@ -176,11 +263,17 @@ class ParallelRoundRunner:
         path leaks them between clients through the shared trainer — a
         time-multiplexing artifact we do not reproduce).
         """
+        import os
+        import time as _time
+        timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
+        tick = _time.perf_counter
+
         idxs_users = [int(i) for i in idxs_users]
         m = len(idxs_users)
         mesh = self._mesh(m)
         train_fn = self._train_fn(m)
         trainer = self.trainer
+        t0 = tick()
 
         # --- per-client LR: the reference steps ONE scheduler once per
         # client-local-epoch, so client j of this round trains at
@@ -189,22 +282,37 @@ class ParallelRoundRunner:
         trainer._lr_steps += m
 
         idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
-        sel_t = jax.tree_util.tree_map(lambda x: x[idx_arr], self.personal_t)
-        sel_o = jax.tree_util.tree_map(lambda x: x[idx_arr], self.stacked_o)
-        sel_o.hyperparams["learning_rate"] = jnp.asarray(lrs, jnp.float32)
+        sel_t, sel_o = self._gather_fn(
+            self.personal_t, self.stacked_o, idx_arr,
+            jnp.asarray(lrs, jnp.float32))
 
-        batches_np, n_steps = self._round_batches(idxs_users)
+        batches, n_steps = self._round_batches_device(idxs_users)
+        if batches is None:  # transform pipeline active: host assembly path
+            batches_np, n_steps = self._round_batches(idxs_users)
+            batches = batches_np
+        if timing:
+            print(f"[timing] batch assembly: {tick() - t0:.3f}s")
+            t0 = tick()
         b_shard = NamedSharding(mesh, P(CLIENT_AXIS, None, DATA_AXIS))
         c_shard = NamedSharding(mesh, P(CLIENT_AXIS))
-        batches = {k: jax.device_put(v, b_shard) for k, v in batches_np.items()}
+        batches = {k: jax.device_put(v, b_shard) for k, v in batches.items()}
         sel_t = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, c_shard), sel_t)
         sel_o = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, c_shard), sel_o)
 
+        if timing:
+            jax.block_until_ready(batches)
+            print(f"[timing] device_put: {tick() - t0:.3f}s")
+            t0 = tick()
+
         trained_t, trained_o, metrics = train_fn(
             sel_t, sel_o, trainer.frozen, batches,
             jax.device_put(jnp.asarray(n_steps), c_shard))
+        if timing:
+            jax.block_until_ready(trained_t)
+            print(f"[timing] train program: {tick() - t0:.3f}s")
+            t0 = tick()
 
         # --- aggregation weights (host scalars, fed/aggregate.py semantics)
         freqs, freqs_by_attr = _freqs(
@@ -234,13 +342,16 @@ class ParallelRoundRunner:
                 trained_t, self.global_t, self.personal_t, weights, group_w,
                 beta_decay, idx_arr, update_idx, keep_mask)
         # trained optimizer states persist per client across rounds
-        self.stacked_o = jax.tree_util.tree_map(
-            lambda full, sub: full.at[idx_arr].set(sub.astype(full.dtype))
-            if hasattr(full, "at") else sub,
-            self.stacked_o, trained_o)
+        self.stacked_o = self._scatter_fn(self.stacked_o, trained_o, idx_arr)
 
+        if timing:
+            jax.block_until_ready(self.personal_t)
+            print(f"[timing] aggregate+scatter: {tick() - t0:.3f}s")
+            t0 = tick()
         # --- metrics: ONE host fetch for the whole round
         ms = np.asarray(metrics)  # [m, S, 3] — loss, valid, acc (0 on pad)
+        if timing:
+            print(f"[timing] metrics fetch: {tick() - t0:.3f}s")
         for j, idx in enumerate(idxs_users):
             nv = max(float(ms[j, :, 1].sum()), 1.0)
             print(f"client {idx}: steps {int(n_steps[j])} "
@@ -364,7 +475,145 @@ class ParallelRoundRunner:
         self._agg_fns[key] = fn
         return fn
 
-    # ------------------------------------------------------------- eval/save
+    # ------------------------------------------------------------- eval
+    def _ensure_eval_cache(self, idx: int):
+        """Device-resident decoded TEST set for client ``idx`` (labels/attrs
+        stay host numpy for the evaluator).  None when the pipeline transforms
+        on host or the set exceeds the cache cap."""
+        import os
+
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if idx in self._eval_cache:
+            return self._eval_cache[idx]
+        loader = self.trainer.fed_test_loader_x_dict[idx]
+        ds = loader.dataset
+        if loader.transform is not None or not hasattr(ds, "load_item"):
+            self._eval_cache[idx] = None
+            return None
+        n = len(ds)
+        if hasattr(ds, "prefetch"):
+            ds.prefetch(range(n))
+        items = [ds.load_item(i) for i in range(n)]
+        imgs = np.stack([it[0] for it in items]).astype(np.float32)
+        cap = int(os.environ.get("FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
+        if imgs.nbytes > cap:
+            self._eval_cache[idx] = None
+            return None
+        attrs = (np.stack([it[2] for it in items]).astype(np.int32)
+                 if items[0][2] is not None else None)
+        cache = {
+            "img": jax.device_put(imgs),
+            "label": np.asarray([it[1] for it in items], np.int32),
+            "attrs": attrs,
+            "attr_dev": (jax.device_put(attrs[:, self._attr_col])
+                         if attrs is not None and self._attr_col is not None
+                         else None),
+        }
+        self._eval_cache[idx] = cache
+        return cache
+
+    def _eval_program(self, with_attr: bool):
+        key = ("eval", with_attr)
+        if key in self._agg_fns:
+            return self._agg_fns[key]
+        infer = self.trainer.make_parallel_infer()
+
+        @jax.jit
+        def run(stacked_t, frozen, imgs, attrs):
+            def per_client(t, imgs_c, attrs_c):
+                def body(_, xs):
+                    img, at = xs
+                    return None, infer(t, frozen, img, at)
+                _, logits = jax.lax.scan(body, None, (imgs_c, attrs_c))
+                return logits
+
+            return jax.vmap(per_client)(stacked_t, imgs, attrs)
+
+        @jax.jit
+        def run_no_attr(stacked_t, frozen, imgs):
+            def per_client(t, imgs_c):
+                def body(_, img):
+                    return None, infer(t, frozen, img, None)
+                _, logits = jax.lax.scan(body, None, imgs_c)
+                return logits
+
+            return jax.vmap(per_client)(stacked_t, imgs)
+
+        fn = run if with_attr else run_no_attr
+        self._agg_fns[key] = fn
+        return fn
+
+    def parallel_eval(self, idxs_users: Sequence[int], current_epoch: int):
+        """Evaluate every listed client through ONE jitted program (scan over
+        padded test batches, vmapped over clients), then run each client's
+        evaluator on host from a single logits fetch.  Output format matches
+        ``SimpleTrainer.test`` line for line.  Returns None when any client
+        lacks a device eval cache (caller falls back to the sequential loop).
+        """
+        idxs_users = [int(i) for i in idxs_users]
+        caches = [self._ensure_eval_cache(i) for i in idxs_users]
+        if not caches or any(c is None for c in caches):
+            return None
+        trainer = self.trainer
+        bs = self.cfg.DATALOADER.TEST.BATCH_SIZE
+        mats, n_valids = [], []
+        for c in caches:
+            n = c["label"].shape[0]
+            rows, valid = [], []
+            for start in range(0, n, bs):
+                chunk = np.arange(start, min(start + bs, n))
+                valid.append(len(chunk))
+                rows.append(np.resize(chunk, bs))  # loader's pad_final rule
+            mats.append(np.stack(rows))
+            n_valids.append(valid)
+        S = max(m.shape[0] for m in mats)
+        imgs, attr_batches = [], []
+        for c, mat in zip(caches, mats):
+            if mat.shape[0] < S:
+                mat = np.concatenate(
+                    [mat, np.repeat(mat[:1], S - mat.shape[0], axis=0)])
+            mi = jnp.asarray(mat, jnp.int32)
+            imgs.append(c["img"][mi])
+            if c["attr_dev"] is not None:
+                attr_batches.append(c["attr_dev"][mi])
+        imgs = jnp.stack(imgs)  # [m, S, bs, ...]
+        idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
+        if "gather_t" not in self._agg_fns:
+            self._agg_fns["gather_t"] = jax.jit(
+                lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
+        stacked_t = self._agg_fns["gather_t"](self.personal_t, idx_arr)
+
+        with_attr = bool(attr_batches)
+        if with_attr:
+            logits = self._eval_program(True)(
+                stacked_t, trainer.frozen, imgs, jnp.stack(attr_batches))
+        else:
+            logits = self._eval_program(False)(stacked_t, trainer.frozen, imgs)
+        logits_np = np.asarray(logits, np.float32)  # ONE fetch: [m, S, bs, C]
+
+        results = []
+        for j, idx in enumerate(idxs_users):
+            c = caches[j]
+            trainer.evaluator.reset()
+            print(f"Evaluate on the client{idx}_test set")
+            mat, valid = mats[j], n_valids[j]
+            for row in range(mat.shape[0]):
+                nv = valid[row]
+                rows_idx = mat[row, :nv]
+                out = logits_np[j, row, :nv]
+                label_h = c["label"][rows_idx]
+                attrs_h = (c["attrs"][rows_idx].T
+                           if c["attrs"] is not None else None)
+                trainer.evaluator.process(out, label_h, attrs_h)
+            res = trainer.evaluator.evaluate()
+            for k, v in res.items():
+                if np.isscalar(v):
+                    trainer.write_scalar(f"test/{k}/{idx}", v, current_epoch)
+            results.append(list(res.values()))
+        return results
+
+    # ------------------------------------------------------------- save
     def install_client(self, idx: int):
         """Point the trainer's trainable at client ``idx``'s personalized tree
         (stays on device — used for eval and final state export)."""

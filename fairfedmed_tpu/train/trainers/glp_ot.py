@@ -395,6 +395,21 @@ class GLPOTBase(TrainerX):
 
         return local_step
 
+    def make_parallel_infer(self):
+        """Functional eval forward for the client-parallel batched eval
+        (fed/parallel_driver.py): ``(trainable, frozen, image, attr) ->
+        logits``.  ViT-only, like make_parallel_local_step."""
+        if self.backbone_type != "vit":
+            raise NotImplementedError(
+                "parallel client rounds support ViT backbones only")
+
+        def infer(trainable, frozen, image, attr):
+            logits, _, _ = self._forward(trainable, frozen, {}, image, attr,
+                                         train=False)
+            return logits
+
+        return infer
+
     def _compile_steps(self):
         loss_fn = self._build_loss_fn()
 

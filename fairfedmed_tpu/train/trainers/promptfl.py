@@ -158,6 +158,13 @@ class _CosineCLIPTrainer(TrainerX):
 
         return local_step
 
+    def make_parallel_infer(self):
+        """Eval forward for the client-parallel batched eval."""
+        def infer(trainable, frozen, image, attr):
+            return self._forward(trainable, frozen, image)
+
+        return infer
+
     def forward_backward(self, batch):
         image, label = self.parse_batch_train(batch)
         ctx_global = getattr(self, "_fedprox_ctx_global", None) if getattr(self, "fedprox", False) else None

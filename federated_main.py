@@ -224,10 +224,12 @@ def main(args):
                 runner.run_round(epoch, list(idxs_users), max_epoch, mode="fedavg")
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
-                results = []
-                for idx in range(cfg.DATASET.USERS):
-                    runner.install_client(idx)
-                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
+                if results is None:
+                    results = []
+                    for idx in range(cfg.DATASET.USERS):
+                        runner.install_client(idx)
+                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             else:
                 for idx in idxs_users:
                     local_trainer.load_state_dict(global_weights, strict=False)
@@ -281,10 +283,12 @@ def main(args):
                 runner.run_round(epoch, idxs_users, max_epoch, mode="prompt_personal")
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
-                results = []
-                for idx in range(cfg.DATASET.USERS):
-                    runner.install_client(idx)
-                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
+                if results is None:
+                    results = []
+                    for idx in range(cfg.DATASET.USERS):
+                        runner.install_client(idx)
+                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             else:
                 for idx in idxs_users:
                     if epoch == 0:
@@ -335,10 +339,12 @@ def main(args):
                     print("Epoch on server :", epoch)
                     continue
                 print("------------local test start-------------")
-                results = []
-                for idx in all_users:
-                    runner.install_client(idx)
-                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                results = runner.parallel_eval(all_users, epoch)
+                if results is None:
+                    results = []
+                    for idx in all_users:
+                        runner.install_client(idx)
+                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             else:
                 for idx in idxs_users:
                     if epoch == 0:
