@@ -103,8 +103,11 @@ def _use_pallas_attn() -> bool:
     Default is the XLA einsum path: at CLIP's short sequences (197/77) XLA's
     fusion of attention with the surrounding residual/LN ops beats the opaque
     kernel boundary (measured 906 vs 726 img/s on the v5e train step; the
-    kernel wins in isolation but blocks cross-op fusion).  The kernel remains
-    the right tool for longer sequences.
+    kernel wins in isolation but blocks cross-op fusion).  Re-measured in
+    round 2 across the 3D-OCT effective batches (vision-tower fwd+bwd, seq
+    197): XLA wins at every size — B=64: 945 vs 771, B=256: 788 vs 594,
+    B=1024: 661 vs 548 seq/s — so the default stays XLA everywhere; the
+    kernel remains correct (tested incl. custom VJP) for longer sequences.
     """
     global _PALLAS_ATTN
     if _PALLAS_ATTN is None:
