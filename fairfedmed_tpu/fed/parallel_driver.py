@@ -261,7 +261,13 @@ class ParallelRoundRunner:
         prompt rows [:avg_prompt] aggregate, every client keeps its own local
         rows, and non-prompt trainables stay per-client local (the sequential
         path leaks them between clients through the shared trainer — a
-        time-multiplexing artifact we do not reproduce).
+        time-multiplexing artifact we do not reproduce);
+        ``mode='fedavg_personal'`` follows the FedOTPLinearFT branch — plain
+        full-state FedAvg (no EMA, no group weighting), with EVERY test user
+        keeping its own local prompt rows (+ local lora_S when LOCAL_S): a
+        user not trained this round keeps its previous personal rows, which by
+        induction are its last-trained rows — the reference's
+        ``local_weights_0[idx]`` store (federated_main.py:487-602).
         """
         import os
         import time as _time
@@ -370,7 +376,7 @@ class ParallelRoundRunner:
             self._agg_fns = {}
         G = self.num_groups
         avg_prompt = self.avg_prompt
-        local_s = self.local_s and mode == "ema_personal"
+        local_s = self.local_s and mode in ("ema_personal", "fedavg_personal")
         shared_half_s = self.shared_half_s and mode == "ema_personal"
 
         def agg_impl(trained_t, global_t, personal_t, weights, group_w,
@@ -449,16 +455,27 @@ class ParallelRoundRunner:
                 out = p.at[update_idx].set(
                     jnp.broadcast_to(g[None], (update_idx.shape[0],) + g.shape
                                      ).astype(p.dtype))
-                if mode != "ema_personal":
+                if mode == "fedavg":
                     return out
                 tr = flat[path]
                 if path.endswith("prompt_learner.ctx"):
+                    if mode == "fedavg_personal":
+                        # ungated: every update user keeps its OWN previous
+                        # local rows; trained users then get this round's
+                        out = out.at[update_idx, avg_prompt:].set(
+                            p[update_idx][:, avg_prompt:].astype(p.dtype))
+                        return out.at[idx_arr, avg_prompt:].set(
+                            tr[:, avg_prompt:].astype(p.dtype))
                     rows = tr[:, avg_prompt:].astype(p.dtype)
                     keep = keep_mask.reshape((-1,) + (1,) * (rows.ndim - 1))
                     cur = out[idx_arr][:, avg_prompt:]
                     return out.at[idx_arr, avg_prompt:].set(
                         jnp.where(keep, rows, cur))
                 if local_s and "lora_S" in path:
+                    if mode == "fedavg_personal":
+                        out = out.at[update_idx].set(
+                            p[update_idx].astype(p.dtype))
+                        return out.at[idx_arr].set(tr.astype(p.dtype))
                     keep = keep_mask.reshape((-1,) + (1,) * (tr.ndim - 1))
                     return out.at[idx_arr].set(
                         jnp.where(keep, tr.astype(p.dtype), out[idx_arr]))

@@ -176,7 +176,8 @@ def main(args):
     # selected client per round
     runner = None
     if cfg.TRAIN.PARALLEL_CLIENTS:
-        supported = (args.model in ("fedavg", "PromptFL", "FedOTP", "FedOTPLoRA")
+        supported = (args.model in ("fedavg", "PromptFL", "FedOTP",
+                                    "FedOTPLoRA", "FedOTPLinearFT")
                      and args.trainer != "CLIP"
                      and hasattr(local_trainer, "make_parallel_local_step"))
         if supported:
@@ -400,30 +401,43 @@ def main(args):
                 m = max(int(args.frac * args.num_users), 1)
                 idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
             print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
+            if runner is not None:
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                runner.run_round(epoch, idxs_users, max_epoch,
+                                 mode="fedavg_personal", test_users=all_users)
+                print("------------local train finish epoch:", epoch, "-------------")
+                print("------------local test start-------------")
+                results = runner.parallel_eval(all_users, epoch)
+                if results is None:
+                    results = []
+                    for idx in all_users:
+                        runner.install_client(idx)
+                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                    local_weights[idx] = copy.deepcopy(local_weight)
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                for idx in all_users:
+                    local_weights_per[idx] = copy.deepcopy(global_weights)
+                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                        for k, v in local_weights_1[idx].items():
+                            local_weights_per[idx][k] = v
+                for idx in all_users:
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                local_weights[idx] = copy.deepcopy(local_weight)
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-            for idx in all_users:
-                local_weights_per[idx] = copy.deepcopy(global_weights)
-                local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
-                    for k, v in local_weights_1[idx].items():
-                        local_weights_per[idx][k] = v
-            for idx in all_users:
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
