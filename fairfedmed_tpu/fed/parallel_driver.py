@@ -141,13 +141,15 @@ class ParallelRoundRunner:
             self._meshes[m] = Mesh(arr, (CLIENT_AXIS, DATA_AXIS))
         return self._meshes[m]
 
-    def _train_fn(self, m: int):
-        if m not in self._train_fns:
+    def _train_fn(self, m: int, fedprox_mu=None):
+        key = (m, fedprox_mu)
+        if key not in self._train_fns:
             mesh = self._mesh(m)
             d_axis = DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None
-            local_step = self.trainer.make_parallel_local_step(data_axis=d_axis)
-            self._train_fns[m] = make_client_train_round(mesh, local_step)
-        return self._train_fns[m]
+            local_step = self.trainer.make_parallel_local_step(
+                data_axis=d_axis, fedprox_mu=fedprox_mu)
+            self._train_fns[key] = make_client_train_round(mesh, local_step)
+        return self._train_fns[key]
 
     def _ensure_device_cache(self, idx: int):
         """Decode client ``idx``'s train set ONCE and keep it device-resident.
@@ -250,7 +252,8 @@ class ParallelRoundRunner:
     # ------------------------------------------------------------- round
     def run_round(self, epoch: int, idxs_users: Sequence[int], max_epoch: int,
                   mode: str = "ema_personal",
-                  test_users: Optional[Sequence[int]] = None):
+                  test_users: Optional[Sequence[int]] = None,
+                  fedprox_mu: Optional[float] = None):
         """Train the selected clients in parallel, aggregate, personalize.
 
         ``mode='ema_personal'`` follows the FedOTPLoRA branch (EMA aggregation,
@@ -277,7 +280,7 @@ class ParallelRoundRunner:
         idxs_users = [int(i) for i in idxs_users]
         m = len(idxs_users)
         mesh = self._mesh(m)
-        train_fn = self._train_fn(m)
+        train_fn = self._train_fn(m, fedprox_mu)
         trainer = self.trainer
         t0 = tick()
 
@@ -312,8 +315,15 @@ class ParallelRoundRunner:
             print(f"[timing] device_put: {tick() - t0:.3f}s")
             t0 = tick()
 
+        frozen = trainer.frozen
+        if fedprox_mu is not None:
+            # FedProx pulls toward the round's global prompt — threaded as a
+            # frozen-side arg so the jit signature stays stable across rounds
+            frozen = dict(frozen)
+            frozen["__ctx_global__"] = self.global_t[
+                "prompt_learner"]["ctx"].astype(jnp.float32)
         trained_t, trained_o, metrics = train_fn(
-            sel_t, sel_o, trainer.frozen, batches,
+            sel_t, sel_o, frozen, batches,
             jax.device_put(jnp.asarray(n_steps), c_shard))
         if timing:
             jax.block_until_ready(trained_t)

@@ -356,7 +356,7 @@ class GLPOTBase(TrainerX):
 
         return loss_fn
 
-    def make_parallel_local_step(self, data_axis=None):
+    def make_parallel_local_step(self, data_axis=None, fedprox_mu=None):
         """Functional per-batch local step for the client-parallel mesh round
         (fed/parallel_driver.py): ``(trainable, opt_state, frozen, batch) ->
         (trainable, opt_state, metrics[loss, valid, acc])``.
@@ -365,7 +365,8 @@ class GLPOTBase(TrainerX):
         per-client stats stream threaded through the round.  When ``data_axis``
         is given, gradients/metrics are pmean-ed over that mesh axis
         (within-client data parallelism) and OT validity combines with AND so
-        every data shard takes the same skip decision.
+        every data shard takes the same skip decision.  ``fedprox_mu`` enables
+        the FedProx proximal pull toward ``frozen['__ctx_global__']``.
         """
         if self.backbone_type != "vit":
             raise NotImplementedError(
@@ -374,9 +375,11 @@ class GLPOTBase(TrainerX):
         tx = self.tx
 
         def local_step(trainable, opt_state, frozen, batch):
+            ctx_g = frozen["__ctx_global__"] if fedprox_mu is not None else None
             (loss, (logits, valid, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, frozen, {}, batch["img"], batch["label"],
-                batch.get("attr"), None, jnp.float32(0.0))
+                batch.get("attr"), ctx_g,
+                jnp.float32(0.0 if fedprox_mu is None else fedprox_mu))
             acc = accuracy_from_logits(logits, batch["label"])
             if data_axis is not None:
                 grads = jax.lax.pmean(grads, data_axis)

@@ -133,16 +133,23 @@ class _CosineCLIPTrainer(TrainerX):
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._infer = jax.jit(lambda t, f, img: self._forward(t, f, img))
 
-    def make_parallel_local_step(self, data_axis=None):
+    def make_parallel_local_step(self, data_axis=None, fedprox_mu=None):
         """Functional per-batch step for the client-parallel mesh round
         (fed/parallel_driver.py).  Works for both backbones: PromptFL keeps
         the image encoder (incl. BN stats) frozen, so there is no mutable
-        per-client state beyond (trainable, opt_state)."""
+        per-client state beyond (trainable, opt_state).  With ``fedprox_mu``
+        the FedProx proximal term pulls toward ``frozen['__ctx_global__']``
+        (the round's global prompt, threaded by the runner)."""
         tx = self.tx
 
         def loss_fn(trainable, frozen, image, label):
             logits = self._forward(trainable, frozen, image)
-            return cross_entropy(logits, label), logits
+            loss = cross_entropy(logits, label)
+            if fedprox_mu is not None:
+                diff = (trainable["prompt_learner"]["ctx"].astype(jnp.float32)
+                        - frozen["__ctx_global__"])
+                loss = loss + (fedprox_mu / 2.0) * jnp.sum(diff * diff)
+            return loss, logits
 
         def local_step(trainable, opt_state, frozen, batch):
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(

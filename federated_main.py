@@ -176,7 +176,7 @@ def main(args):
     # selected client per round
     runner = None
     if cfg.TRAIN.PARALLEL_CLIENTS:
-        supported = (args.model in ("fedavg", "PromptFL", "FedOTP",
+        supported = (args.model in ("fedavg", "fedprox", "PromptFL", "FedOTP",
                                     "FedOTPLoRA", "FedOTPLinearFT")
                      and args.trainer != "CLIP"
                      and hasattr(local_trainer, "make_parallel_local_step"))
@@ -253,18 +253,31 @@ def main(args):
             idxs_users = np.random.choice(range(args.num_users), m, replace=False)
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                    global_weight=global_weights, fedprox=True, mu=args.mu)
-                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            if runner is not None:
+                runner.run_round(epoch, list(idxs_users), max_epoch,
+                                 mode="fedavg", fedprox_mu=float(args.mu))
+                print("------------local train finish epoch:", epoch, "-------------")
+                print("------------local test start-------------")
+                # fedprox evaluates only the round's selected users
+                results = runner.parallel_eval(list(idxs_users), epoch)
+                if results is None:
+                    results = []
+                    for idx in idxs_users:
+                        runner.install_client(int(idx))
+                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                        global_weight=global_weights, fedprox=True, mu=args.mu)
+                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)

@@ -146,3 +146,34 @@ def test_parallel_linearft_parity(tmp_path):
         for k in seq.files:
             np.testing.assert_allclose(par[k], seq[k], rtol=1e-4, atol=1e-5,
                                        err_msg=f"client {idx} key {k}")
+
+
+def test_parallel_fedprox_parity(tmp_path):
+    """fedprox (global start, proximal pull to the round's global prompt,
+    plain FedAvg, eval on selected users) must match sequentially."""
+    root = tmp_path / "data"
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+
+    def run(parallel, outdir):
+        args = _args(
+            model="fedprox", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+            frac=1.0, mu=0.7, root=str(root), output_dir=outdir,
+            train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+            avg_prompt=1, OT="None", backbone="test-vit", attribute_type="race",
+            attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+            modality_type="slo_fundus", unfreeze_image_encoder=True,
+            lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+            parallel_clients=parallel,
+            config_file="", dataset_config_file="",
+            opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)",
+                  "SEED", "1", "TEST.EVALUATOR", "Classification_oph",
+                  "TRAINER.GLP_OT.PREC", "fp32",
+                  "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
+                  "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+                  "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+        )
+        return federated_main.main(args)
+
+    out_seq = run(False, str(tmp_path / "seq"))
+    out_par = run(True, str(tmp_path / "par"))
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
