@@ -97,6 +97,14 @@ class ParallelRoundRunner:
         self._train_fns = {}
         self._data_cache = {}  # client idx -> device-resident decoded arrays
         self._agg_fns = {}
+        from jax.sharding import Mesh
+
+        # persistent state lives replicated over ALL devices; a round whose
+        # mesh spans a device subset (frac-sampled m with awkward divisors)
+        # reshards its outputs back here before aggregation
+        self._full_mesh = Mesh(
+            np.asarray(jax.devices()).reshape(-1), ("all",))
+        self._replicated = NamedSharding(self._full_mesh, P())
 
         # fused per-round programs: ONE dispatch each instead of one eager op
         # per pytree leaf (each eager op costs a tunnel round-trip on a
@@ -329,6 +337,12 @@ class ParallelRoundRunner:
             jax.block_until_ready(trained_t)
             print(f"[timing] train program: {tick() - t0:.3f}s")
             t0 = tick()
+
+        if mesh.devices.size != len(jax.devices()):
+            # partial-device round mesh: bring outputs back to the full set
+            trained_t = jax.device_put(trained_t, self._replicated)
+            trained_o = jax.device_put(trained_o, self._replicated)
+            metrics = jax.device_put(metrics, self._replicated)
 
         # --- aggregation weights (host scalars, fed/aggregate.py semantics)
         freqs, freqs_by_attr = _freqs(

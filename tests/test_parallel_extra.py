@@ -177,3 +177,40 @@ def test_parallel_fedprox_parity(tmp_path):
     out_seq = run(False, str(tmp_path / "seq"))
     out_par = run(True, str(tmp_path / "par"))
     np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+
+
+def test_parallel_frac_sampling_parity(tmp_path):
+    """frac<1: round 0 trains all clients, later rounds a sampled subset —
+    per-round mesh/program caches must keep parity with the sequential path."""
+    root = tmp_path / "data"
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+
+    def run(parallel, outdir):
+        args = _args(
+            model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=3, num_users=2,
+            frac=0.5, root=str(root), output_dir=outdir,
+            train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+            avg_prompt=1, OT="None", backbone="test-vit", attribute_type="race",
+            attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+            modality_type="slo_fundus", unfreeze_image_encoder=True,
+            lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+            parallel_clients=parallel,
+            config_file="", dataset_config_file="",
+            opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)",
+                  "SEED", "1", "TEST.EVALUATOR", "Classification_oph",
+                  "TRAINER.GLP_OT.PREC", "fp32",
+                  "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
+                  "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+                  "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+        )
+        return federated_main.main(args)
+
+    out_seq = run(False, str(tmp_path / "seq"))
+    out_par = run(True, str(tmp_path / "par"))
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        for k in seq.files:
+            np.testing.assert_allclose(par[k], seq[k], rtol=1e-4, atol=1e-5,
+                                       err_msg=f"client {idx} key {k}")
