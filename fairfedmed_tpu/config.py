@@ -338,4 +338,65 @@ def get_cfg_default() -> CfgNode:
     c.TRAINER.GLP_OT_LORA.DISABLE_ATTR = False
     c.TRAINER.LAMBDA_FAIRNESS = 0.0
 
+    # Dassl DA/DG/SSL trainer nodes (defaults.py:224-309) — config-only in the
+    # reference too (SURVEY §2.8); kept so configs that set them merge cleanly.
+    c.TRAINER.MCD = CfgNode()
+    c.TRAINER.MCD.N_STEP_F = 4
+    c.TRAINER.MME = CfgNode()
+    c.TRAINER.MME.LMDA = 0.1
+    c.TRAINER.CDAC = CfgNode()
+    c.TRAINER.CDAC.CLASS_LR_MULTI = 10
+    c.TRAINER.CDAC.RAMPUP_COEF = 30
+    c.TRAINER.CDAC.RAMPUP_ITRS = 1000
+    c.TRAINER.CDAC.TOPK_MATCH = 5
+    c.TRAINER.CDAC.P_THRESH = 0.95
+    c.TRAINER.CDAC.STRONG_TRANSFORMS = ()
+    c.TRAINER.SE = CfgNode()
+    c.TRAINER.SE.EMA_ALPHA = 0.999
+    c.TRAINER.SE.CONF_THRE = 0.95
+    c.TRAINER.SE.RAMPUP = 300
+    c.TRAINER.M3SDA = CfgNode()
+    c.TRAINER.M3SDA.LMDA = 0.5
+    c.TRAINER.M3SDA.N_STEP_F = 4
+    c.TRAINER.DAEL = CfgNode()
+    c.TRAINER.DAEL.WEIGHT_U = 0.5
+    c.TRAINER.DAEL.CONF_THRE = 0.95
+    c.TRAINER.DAEL.STRONG_TRANSFORMS = ()
+    c.TRAINER.CROSSGRAD = CfgNode()
+    c.TRAINER.CROSSGRAD.EPS_F = 1.0
+    c.TRAINER.CROSSGRAD.EPS_D = 1.0
+    c.TRAINER.CROSSGRAD.ALPHA_F = 0.5
+    c.TRAINER.CROSSGRAD.ALPHA_D = 0.5
+    c.TRAINER.DDAIG = CfgNode()
+    c.TRAINER.DDAIG.G_ARCH = ""
+    c.TRAINER.DDAIG.LMDA = 0.3
+    c.TRAINER.DDAIG.CLAMP = False
+    c.TRAINER.DDAIG.CLAMP_MIN = -1.0
+    c.TRAINER.DDAIG.CLAMP_MAX = 1.0
+    c.TRAINER.DDAIG.WARMUP = 0
+    c.TRAINER.DDAIG.ALPHA = 0.5
+    c.TRAINER.DAELDG = CfgNode()
+    c.TRAINER.DAELDG.WEIGHT_U = 0.5
+    c.TRAINER.DAELDG.CONF_THRE = 0.95
+    c.TRAINER.DAELDG.STRONG_TRANSFORMS = ()
+    c.TRAINER.DOMAINMIX = CfgNode()
+    c.TRAINER.DOMAINMIX.TYPE = "crossdomain"
+    c.TRAINER.DOMAINMIX.ALPHA = 1.0
+    c.TRAINER.DOMAINMIX.BETA = 1.0
+    c.TRAINER.ENTMIN = CfgNode()
+    c.TRAINER.ENTMIN.LMDA = 1e-3
+    c.TRAINER.MEANTEACHER = CfgNode()
+    c.TRAINER.MEANTEACHER.WEIGHT_U = 1.0
+    c.TRAINER.MEANTEACHER.EMA_ALPHA = 0.999
+    c.TRAINER.MEANTEACHER.RAMPUP = 5
+    c.TRAINER.MIXMATCH = CfgNode()
+    c.TRAINER.MIXMATCH.WEIGHT_U = 100.0
+    c.TRAINER.MIXMATCH.TEMP = 2.0
+    c.TRAINER.MIXMATCH.MIXUP_BETA = 0.75
+    c.TRAINER.MIXMATCH.RAMPUP = 20000
+    c.TRAINER.FIXMATCH = CfgNode()
+    c.TRAINER.FIXMATCH.WEIGHT_U = 1.0
+    c.TRAINER.FIXMATCH.CONF_THRE = 0.95
+    c.TRAINER.FIXMATCH.STRONG_TRANSFORMS = ()
+
     return c

@@ -98,7 +98,13 @@ def _max_pool(x, k, stride, padding):
 # torchvision-style ResNets (backbone/resnet.py)
 # --------------------------------------------------------------------------- #
 
-def _resnet(block_counts: Sequence[int], bottleneck: bool):
+def _resnet(block_counts: Sequence[int], bottleneck: bool,
+            mix: str | None = None, mix_layers: Sequence[str] = ()):
+    """torchvision-style ResNet; ``mix``/``mix_layers`` add MixStyle or EFDMix
+    after the named stages (backbone/resnet.py:283-556's ``_ms_l*`` /
+    ``_efdmix_l*`` variants).  Mixing activates only when the caller passes an
+    ``rng`` to ``apply`` in train mode — the functional analogue of Dassl's
+    run_with_mixstyle context (mixstyle.py:37-50): deactivated by default."""
     expansion = 4 if bottleneck else 1
     out_features = 512 * expansion
 
@@ -162,13 +168,18 @@ def _resnet(block_counts: Sequence[int], bottleneck: bool):
             sc = x
         return jax.nn.relu(y + sc), new_s
 
-    def apply(params, stats, x, train):
+    def apply(params, stats, x, train, rng=None):
         conv, bn = params["conv"], params["bn"]
         new_stats = {}
         y, new_stats["bn1"] = _bn(bn["bn1"], stats["bn1"],
                                   _conv(x, conv["conv1"], 2, 3), train)
         y = jax.nn.relu(y)
         y = _max_pool(y, 3, 2, 1)
+        mix_rngs = {}
+        if mix is not None and rng is not None and train:
+            for name, key in zip(mix_layers,
+                                 jax.random.split(rng, len(mix_layers))):
+                mix_rngs[name] = key
         for li, nblocks in enumerate(block_counts):
             lname = f"layer{li + 1}"
             new_stats[lname] = []
@@ -177,6 +188,10 @@ def _resnet(block_counts: Sequence[int], bottleneck: bool):
                 y, ns = block_apply(conv[lname][bi], bn[lname][bi],
                                     stats[lname][bi], y, stride, train)
                 new_stats[lname].append(ns)
+            if lname in mix_rngs:
+                from ..ops import dassl as _dassl
+                mix_fn = _dassl.mixstyle if mix == "mixstyle" else _dassl.efdmix
+                y = mix_fn(mix_rngs[lname], y, p=0.5, alpha=0.1)
         return y.mean((2, 3)), new_stats
 
     return init, apply, out_features
@@ -186,8 +201,117 @@ for _name, _counts, _bneck in (
     ("resnet18", (2, 2, 2, 2), False),
     ("resnet34", (3, 4, 6, 3), False),
     ("resnet50", (3, 4, 6, 3), True),
+    ("resnet101", (3, 4, 23, 3), True),
+    ("resnet152", (3, 8, 36, 3), True),
 ):
     BACKBONE_REGISTRY[_name] = functools.partial(_resnet, _counts, _bneck)
+
+# MixStyle / EFDMix stage variants (backbone/resnet.py:283-556).
+_MIX_STAGES = {"l123": ("layer1", "layer2", "layer3"),
+               "l12": ("layer1", "layer2"),
+               "l1": ("layer1",)}
+for _base, _counts, _bneck in (("resnet18", (2, 2, 2, 2), False),
+                               ("resnet50", (3, 4, 6, 3), True),
+                               ("resnet101", (3, 4, 23, 3), True)):
+    for _mix, _tag in (("mixstyle", "ms"), ("efdmix", "efdmix")):
+        for _suffix, _stages in _MIX_STAGES.items():
+            BACKBONE_REGISTRY[f"{_base}_{_tag}_{_suffix}"] = functools.partial(
+                _resnet, _counts, _bneck, _mix, _stages)
+
+
+# --------------------------------------------------------------------------- #
+# timm-style ViT (backbone/models_vit.py)
+# --------------------------------------------------------------------------- #
+
+
+@register_backbone("vit_base_patch16")
+def _vit_base_patch16(image_size: int = 224, depth: int = 12,
+                      width: int = 768, heads: int = 12):
+    """ViT-B/16 with global average pooling + fc_norm
+    (models_vit.py:26-83's MAE-style VisionTransformer).
+
+    Pretrained MAE weights point at a hardcoded local path in the reference
+    and are unavailable offline; random init, like the other backbones here.
+    Blocks are stacked and scanned — one compiled block program regardless of
+    depth, the same trick as models/clip_model.py's encoder.
+    """
+    patch = 16
+    n_tok = (image_size // patch) ** 2 + 1
+    head_dim = width // heads
+
+    def init(rng):
+        ks = jax.random.split(rng, 8)
+
+        def tnorm(key, shape, std):
+            return std * jax.random.truncated_normal(key, -2.0, 2.0, shape)
+
+        def block_leaf(key, shape, fan_in):
+            return jax.random.normal(key, shape) * (2.0 / fan_in) ** 0.5
+
+        bk = jax.random.split(ks[3], 8 * depth).reshape(depth, 8, 2)
+        blocks = {
+            "ln1_w": jnp.ones((depth, width)), "ln1_b": jnp.zeros((depth, width)),
+            "qkv_w": jax.vmap(lambda k: block_leaf(k, (width, 3 * width), width))(bk[:, 0]),
+            "qkv_b": jnp.zeros((depth, 3 * width)),
+            "proj_w": jax.vmap(lambda k: block_leaf(k, (width, width), width))(bk[:, 1]),
+            "proj_b": jnp.zeros((depth, width)),
+            "ln2_w": jnp.ones((depth, width)), "ln2_b": jnp.zeros((depth, width)),
+            "fc1_w": jax.vmap(lambda k: block_leaf(k, (width, 4 * width), width))(bk[:, 2]),
+            "fc1_b": jnp.zeros((depth, 4 * width)),
+            "fc2_w": jax.vmap(lambda k: block_leaf(k, (4 * width, width), 4 * width))(bk[:, 3]),
+            "fc2_b": jnp.zeros((depth, width)),
+        }
+        params = {
+            "patch_w": block_leaf(ks[0], (width, 3, patch, patch), 3 * patch * patch),
+            "patch_b": jnp.zeros((width,)),
+            "cls": tnorm(ks[1], (1, 1, width), 0.02),
+            "pos": tnorm(ks[2], (1, n_tok, width), 0.02),
+            "blocks": blocks,
+            "fc_norm_w": jnp.ones((width,)), "fc_norm_b": jnp.zeros((width,)),
+        }
+        return params, {}
+
+    def ln(x, w, b, eps=1e-6):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        return (((x32 - mu) * jax.lax.rsqrt(var + eps)) * w + b).astype(x.dtype)
+
+    def block(x, bp):
+        h = ln(x, bp["ln1_w"], bp["ln1_b"])
+        qkv = h @ bp["qkv_w"] + bp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b_, t, _ = q.shape
+
+        def heads_split(a):
+            return a.reshape(b_, t, heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        att = jax.nn.softmax(
+            (q @ k.transpose(0, 1, 3, 2)) / head_dim ** 0.5, axis=-1)
+        h = (att @ v).transpose(0, 2, 1, 3).reshape(b_, t, width)
+        x = x + h @ bp["proj_w"] + bp["proj_b"]
+        h = ln(x, bp["ln2_w"], bp["ln2_b"])
+        h = jax.nn.gelu(h @ bp["fc1_w"] + bp["fc1_b"]) @ bp["fc2_w"] + bp["fc2_b"]
+        return x + h
+
+    def apply(params, stats, x, train):
+        y = jax.lax.conv_general_dilated(
+            x, params["patch_w"].astype(x.dtype), (patch, patch), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        b_ = y.shape[0]
+        y = y.reshape(b_, width, -1).transpose(0, 2, 1) + params["patch_b"]
+        cls = jnp.broadcast_to(params["cls"].astype(y.dtype), (b_, 1, width))
+        y = jnp.concatenate([cls, y], axis=1) + params["pos"].astype(y.dtype)
+
+        def body(carry, bp):
+            return block(carry, bp), None
+
+        y, _ = jax.lax.scan(body, y, params["blocks"])
+        pooled = y[:, 1:, :].mean(axis=1)  # global pool without cls token
+        return ln(pooled, params["fc_norm_w"], params["fc_norm_b"]), stats
+
+    return init, apply, width
 
 
 @register_backbone("cnn3")
