@@ -312,11 +312,18 @@ class ParallelRoundRunner:
             t0 = tick()
         b_shard = NamedSharding(mesh, P(CLIENT_AXIS, None, DATA_AXIS))
         c_shard = NamedSharding(mesh, P(CLIENT_AXIS))
-        batches = {k: jax.device_put(v, b_shard) for k, v in batches.items()}
-        sel_t = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, c_shard), sel_t)
-        sel_o = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, c_shard), sel_o)
+        if mesh.devices.size > 1:
+            batches = {k: jax.device_put(v, b_shard)
+                       for k, v in batches.items()}
+            sel_t = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, c_shard), sel_t)
+            sel_o = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, c_shard), sel_o)
+        else:
+            # one-device mesh: every named sharding is the device the arrays
+            # already live on — resharding would only queue useless transfers
+            # on the (possibly remote) device stream
+            batches = dict(batches)
 
         if timing:
             jax.block_until_ready(batches)
@@ -592,6 +599,12 @@ class ParallelRoundRunner:
         ``SimpleTrainer.test`` line for line.  Returns None when any client
         lacks a device eval cache (caller falls back to the sequential loop).
         """
+        import os
+        import time as _time
+        timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
+        tick = _time.perf_counter
+        t0 = tick()
+
         idxs_users = [int(i) for i in idxs_users]
         caches = [self._ensure_eval_cache(i) for i in idxs_users]
         if not caches or any(c is None for c in caches):
@@ -631,7 +644,13 @@ class ParallelRoundRunner:
                 stacked_t, trainer.frozen, imgs, jnp.stack(attr_batches))
         else:
             logits = self._eval_program(False)(stacked_t, trainer.frozen, imgs)
+        if timing:
+            print(f"[timing] eval assemble+dispatch: {tick() - t0:.3f}s")
+            t0 = tick()
         logits_np = np.asarray(logits, np.float32)  # ONE fetch: [m, S, bs, C]
+        if timing:
+            print(f"[timing] eval logits fetch: {tick() - t0:.3f}s")
+            t0 = tick()
 
         results = []
         for j, idx in enumerate(idxs_users):
@@ -652,6 +671,8 @@ class ParallelRoundRunner:
                 if np.isscalar(v):
                     trainer.write_scalar(f"test/{k}/{idx}", v, current_epoch)
             results.append(list(res.values()))
+        if timing:
+            print(f"[timing] eval host metrics: {tick() - t0:.3f}s")
         return results
 
     # ------------------------------------------------------------- save

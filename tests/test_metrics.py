@@ -60,3 +60,39 @@ def test_comprehensive_block_shapes(binary_case):
     assert len(aucs) == 2 and len(aods) == 2
     assert bgd.shape == (2, 2)
     assert 0 <= oa <= 1 and 0 <= oauc <= 1
+
+
+def test_compute_auc_matches_sklearn_exactly():
+    """The rank-identity AUC must equal sklearn's ROC AUC bit for bit —
+    including heavy ties, multiclass OVR-macro, and single-class nan."""
+    import warnings
+
+    from sklearn.metrics import auc as sk_auc
+    from sklearn.metrics import roc_auc_score, roc_curve
+
+    from fairfedmed_tpu.evaluation.metrics import compute_auc
+
+    rng = np.random.default_rng(0)
+    # binary, same-shape path, continuous scores and heavy ties
+    for scores in (rng.random(300), np.round(rng.random(300), 1)):
+        y = rng.integers(0, 2, 300)
+        fpr, tpr, _ = roc_curve(y, scores)
+        assert compute_auc(scores, y) == pytest.approx(
+            float(sk_auc(fpr, tpr)), abs=1e-12)
+    # onehot macro OVR path (the evaluator's [N, C] softmax case)
+    for n_cls in (2, 4):
+        y = rng.integers(0, n_cls, 200)
+        probs = rng.random((200, n_cls))
+        onehot = np.eye(n_cls)[y]
+        want = roc_auc_score(onehot, probs, average="macro", multi_class="ovr")
+        assert compute_auc(probs, y, num_classes=n_cls) == pytest.approx(
+            float(want), abs=1e-12)
+    # single-class -> nan in both paths (sklearn 1.9 warn+nan parity)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ones = np.ones(5, dtype=int)
+        assert np.isnan(compute_auc(rng.random(5), ones))
+        assert np.isnan(compute_auc(rng.random((5, 2)), ones, num_classes=2))
+        # missing class in a 3-way problem -> nan propagates through the mean
+        y3 = np.asarray([0, 0, 1, 1, 0])
+        assert np.isnan(compute_auc(rng.random((5, 3)), y3, num_classes=3))
