@@ -37,9 +37,9 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import CLIENT_AXIS, DATA_AXIS, build_mesh
+from ..core.mesh import CLIENT_AXIS, DATA_AXIS
 from ..core.pytree import flatten_paths, unflatten_paths
 from .aggregate import _freqs
 from .parallel import make_client_train_round
@@ -96,9 +96,8 @@ class ParallelRoundRunner:
         self._meshes = {}
         self._train_fns = {}
         self._data_cache = {}  # client idx -> device-resident decoded arrays
+        self._eval_cache = {}
         self._agg_fns = {}
-        from jax.sharding import Mesh
-
         # persistent state lives replicated over ALL devices; a round whose
         # mesh spans a device subset (frac-sampled m with awkward divisors)
         # reshards its outputs back here before aggregation
@@ -134,8 +133,6 @@ class ParallelRoundRunner:
         """(clients × data) mesh for an m-client round: the client-shard count
         must divide m, and the data-axis size must divide the batch size."""
         if m not in self._meshes:
-            from jax.sharding import Mesh
-
             bs = self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE
             devices = jax.devices()
             n = len(devices)
@@ -167,15 +164,34 @@ class ParallelRoundRunner:
         per-epoch images differ and must be re-decoded.  Falls back (None)
         when the pipeline has transforms/samplers or the set exceeds the
         cache cap (FAIRFEDMED_DEVICE_CACHE_BYTES, default 4 GiB)."""
-        import os
-
         if idx in self._data_cache:
             return self._data_cache[idx]
-        loader = self.trainer.fed_train_loader_x_dict[idx]
+        decoded = self._decode_loader(self.trainer.fed_train_loader_x_dict[idx])
+        if decoded is None:
+            self._data_cache[idx] = None
+            return None
+        imgs, labels, attrs = decoded
+        cache = {"img": jax.device_put(imgs),
+                 "label": jax.device_put(labels)}
+        if self._attr_col is not None:
+            cache["attr"] = jax.device_put(
+                attrs[:, self._attr_col].astype(np.int32))
+        self._data_cache[idx] = cache
+        return cache
+
+    @staticmethod
+    def _decode_loader(loader):
+        """Decode a ClientLoader's full dataset in index order, or None when
+        the loader can't be cached: a host transform (per-epoch images
+        differ), a structured sampler (iteration order isn't index order), a
+        dataset without the load_item protocol, or a set over the cache cap
+        (FAIRFEDMED_DEVICE_CACHE_BYTES, default 4 GiB).  Shared by the train
+        and eval caches so the guards can't drift apart."""
+        import os
+
         ds = loader.dataset
         if (loader.transform is not None or loader.sampler is not None
                 or not hasattr(ds, "load_item")):
-            self._data_cache[idx] = None
             return None
         n = len(ds)
         if hasattr(ds, "prefetch"):
@@ -184,16 +200,11 @@ class ParallelRoundRunner:
         imgs = np.stack([it[0] for it in items]).astype(np.float32)
         cap = int(os.environ.get("FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
         if imgs.nbytes > cap:
-            self._data_cache[idx] = None
             return None
-        cache = {"img": jax.device_put(imgs),
-                 "label": jax.device_put(np.asarray(
-                     [it[1] for it in items], np.int32))}
-        if self._attr_col is not None:
-            cache["attr"] = jax.device_put(np.stack(
-                [it[2] for it in items])[:, self._attr_col].astype(np.int32))
-        self._data_cache[idx] = cache
-        return cache
+        labels = np.asarray([it[1] for it in items], np.int32)
+        attrs = (np.stack([it[2] for it in items]).astype(np.int32)
+                 if items[0][2] is not None else None)
+        return imgs, labels, attrs
 
     def _round_batches_device(self, idxs_users: Sequence[int]):
         """Per-round batch streams as DEVICE gathers over the cached decoded
@@ -401,10 +412,8 @@ class ParallelRoundRunner:
         Index/mask arrays enter as ARGUMENTS — closing over device arrays
         would embed them as constants and re-trace every round."""
         key = (mode, has_group_w)
-        if key in getattr(self, "_agg_fns", {}):
+        if key in self._agg_fns:
             return self._agg_fns[key]
-        if not hasattr(self, "_agg_fns"):
-            self._agg_fns = {}
         G = self.num_groups
         avg_prompt = self.avg_prompt
         local_s = self.local_s and mode in ("ema_personal", "fedavg_personal")
@@ -458,6 +467,17 @@ class ParallelRoundRunner:
                 new_personal = _map2_with_path(
                     personalize_p, personal_t, new_global)
                 return new_global, new_personal
+
+            if mode == "local_personal":
+                # no aggregation (reference federated_main.py:728-773's
+                # ``local`` branch): each trained client simply keeps its own
+                # full trainable; the global model is untouched
+                def personalize_l(path, p, g):
+                    return p.at[idx_arr].set(flat[path].astype(p.dtype))
+
+                new_personal = _map2_with_path(
+                    personalize_l, personal_t, global_t)
+                return global_t, new_personal
 
             avg = unflatten_paths({k: wmean(k, v) for k, v in flat.items()})
             if shared_half_s:
@@ -527,32 +547,18 @@ class ParallelRoundRunner:
     def _ensure_eval_cache(self, idx: int):
         """Device-resident decoded TEST set for client ``idx`` (labels/attrs
         stay host numpy for the evaluator).  None when the pipeline transforms
-        on host or the set exceeds the cache cap."""
-        import os
-
-        if not hasattr(self, "_eval_cache"):
-            self._eval_cache = {}
+        on host, iterates through a sampler (cache is index-ordered), or the
+        set exceeds the cache cap."""
         if idx in self._eval_cache:
             return self._eval_cache[idx]
-        loader = self.trainer.fed_test_loader_x_dict[idx]
-        ds = loader.dataset
-        if loader.transform is not None or not hasattr(ds, "load_item"):
+        decoded = self._decode_loader(self.trainer.fed_test_loader_x_dict[idx])
+        if decoded is None:
             self._eval_cache[idx] = None
             return None
-        n = len(ds)
-        if hasattr(ds, "prefetch"):
-            ds.prefetch(range(n))
-        items = [ds.load_item(i) for i in range(n)]
-        imgs = np.stack([it[0] for it in items]).astype(np.float32)
-        cap = int(os.environ.get("FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
-        if imgs.nbytes > cap:
-            self._eval_cache[idx] = None
-            return None
-        attrs = (np.stack([it[2] for it in items]).astype(np.int32)
-                 if items[0][2] is not None else None)
+        imgs, labels, attrs = decoded
         cache = {
             "img": jax.device_put(imgs),
-            "label": np.asarray([it[1] for it in items], np.int32),
+            "label": labels,
             "attrs": attrs,
             "attr_dev": (jax.device_put(attrs[:, self._attr_col])
                          if attrs is not None and self._attr_col is not None
@@ -608,6 +614,11 @@ class ParallelRoundRunner:
         idxs_users = [int(i) for i in idxs_users]
         caches = [self._ensure_eval_cache(i) for i in idxs_users]
         if not caches or any(c is None for c in caches):
+            return None
+        # attr presence must be uniform: the eval program stacks attr batches
+        # positionally against imgs, so a mixed set would misalign clients
+        has_attr = [c["attr_dev"] is not None for c in caches]
+        if any(has_attr) and not all(has_attr):
             return None
         trainer = self.trainer
         bs = self.cfg.DATALOADER.TEST.BATCH_SIZE
@@ -678,10 +689,13 @@ class ParallelRoundRunner:
     # ------------------------------------------------------------- save
     def install_client(self, idx: int):
         """Point the trainer's trainable at client ``idx``'s personalized tree
-        (stays on device — used for eval and final state export)."""
-        i = jnp.asarray(int(idx))
-        self.trainer.trainable = jax.tree_util.tree_map(
-            lambda x: x[i], self.personal_t)
+        (stays on device — used for eval and final state export).  Uses the
+        cached jitted gather so the pull is ONE dispatch, not one per leaf."""
+        if "install_t" not in self._agg_fns:
+            self._agg_fns["install_t"] = jax.jit(
+                lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
+        self.trainer.trainable = self._agg_fns["install_t"](
+            self.personal_t, jnp.asarray(int(idx), jnp.int32))
 
     def final_state_dict(self, idx: int) -> dict:
         self.install_client(idx)

@@ -361,6 +361,12 @@ def transnorm_apply(params, stats, x, train: bool, adaptive_alpha: bool = True,
             out = (1 + jax.lax.stop_gradient(alpha).reshape(shape)) * out
         return out.astype(x.dtype), stats
 
+    if x32.shape[0] % 2 != 0:
+        # the reference's torch.split(input, B//2) yields 3 chunks on odd B
+        # and its 2-way unpack raises; surface the same constraint clearly
+        raise ValueError("transnorm training expects an even batch "
+                         "(source/target halves); got "
+                         f"batch={x32.shape[0]}")
     half = x32.shape[0] // 2
     xs, xt = x32[:half], x32[half:2 * half]
     new_stats = dict(stats)

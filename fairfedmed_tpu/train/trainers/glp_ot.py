@@ -392,8 +392,12 @@ class GLPOTBase(TrainerX):
                 lambda a, b: jnp.where(valid, a, b), new, old)
             trainable = keep(new_trainable, trainable)
             opt_state = keep(new_opt_state, opt_state)
+            # zero BOTH loss and acc on an invalid (NaN-OT) step: the round
+            # runner divides each by the valid count, so an unmasked acc
+            # would inflate the per-client average exactly when OT diverges
             metrics = jnp.stack([jnp.where(valid, loss, 0.0),
-                                 valid.astype(jnp.float32), acc])
+                                 valid.astype(jnp.float32),
+                                 jnp.where(valid, acc, 0.0)])
             return trainable, opt_state, metrics
 
         return local_step

@@ -132,6 +132,10 @@ def _avg(xs):
 
 
 def main(args):
+    # normalize programmatically-set id lists too (tests/benches pass real
+    # lists): downstream membership tests compare against int client ids
+    args.idxs_users_train = _int_list(args.idxs_users_train)
+    args.idxs_users_test = _int_list(args.idxs_users_test)
     cfg = setup_cfg(args)
     if cfg.SEED >= 0:
         set_random_seed(cfg.SEED)
@@ -177,7 +181,7 @@ def main(args):
     runner = None
     if cfg.TRAIN.PARALLEL_CLIENTS:
         supported = (args.model in ("fedavg", "fedprox", "PromptFL", "FedOTP",
-                                    "FedOTPLoRA", "FedOTPLinearFT")
+                                    "FedOTPLoRA", "FedOTPLinearFT", "local")
                      and args.trainer != "CLIP"
                      and hasattr(local_trainer, "make_parallel_local_step"))
         if supported:
@@ -463,10 +467,21 @@ def main(args):
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
             results = []
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            if runner is not None:
+                idxs = [int(i) for i in idxs_users]
+                runner.run_round(epoch, idxs, max_epoch, mode="local_personal",
+                                 test_users=idxs)
+                results = runner.parallel_eval(idxs, epoch)
+                if results is None:
+                    results = []
+                    for idx in idxs:
+                        runner.install_client(idx)
+                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+            else:
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -482,9 +497,12 @@ def main(args):
     import os
 
     for idx in range(cfg.DATASET.USERS):
-        if runner is not None:
+        if runner is not None and args.model != "local":
             state = runner.final_state_dict(idx)  # one device pull per client
         else:
+            # the local branch never populates the personalization store
+            # (reference saves the empty local_weights_per, :775-778); keep
+            # the init-weights fallback on both paths
             state = local_weights_per[idx] if local_weights_per[idx] else global_weights
         path = os.path.join(cfg.OUTPUT_DIR, f"global_client{idx}_final.npz")
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
@@ -543,6 +561,13 @@ def _report_split_client(cfg, args, epoch, accs):
     print("Test acc of all", np.mean(accs), np.std(accs))
 
 
+def _int_list(value):
+    """Comma-separated client-id list ("0,1,2" -> [0, 1, 2])."""
+    if isinstance(value, (list, tuple)):
+        return [int(v) for v in value]
+    return [int(v) for v in str(value).split(",") if v.strip() != ""]
+
+
 def build_arg_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="FedOTP", help="aggregation model: FedOTP, fedavg, fedprox, FedOTPLoRA, FedOTPLinearFT, local")
@@ -593,8 +618,15 @@ def build_arg_parser():
     parser.add_argument("--differentiable_fairness", action="store_true",
                         help="let the fairness regulariser contribute "
                              "gradients (the reference detaches it)")
-    parser.add_argument("--idxs_users_train", type=list, default=[])
-    parser.add_argument("--idxs_users_test", type=list, default=[])
+    # the reference declares these type=list, which turns a CLI value into a
+    # character list ("0,1" -> ['0',',','1']) — unusable from the shell.  We
+    # keep the flag names/defaults but parse comma-separated ints so the
+    # personalization paths built on them (keep_mask, idx-in-list tests)
+    # always see int client ids.
+    parser.add_argument("--idxs_users_train", type=_int_list, default=[],
+                        help="comma-separated client ids to train")
+    parser.add_argument("--idxs_users_test", type=_int_list, default=[],
+                        help="comma-separated client ids to test")
     parser.add_argument("--disable_attr", action="store_true")
     parser.add_argument("--parallel_clients", action="store_true",
                         help="run each round's selected clients as one SPMD "

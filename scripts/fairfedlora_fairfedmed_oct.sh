@@ -23,6 +23,9 @@ ATTRIBUTE_TYPE=${ATTRIBUTE_TYPE:-language}
 LoRA_RANK=12
 LoRA_ALPHA=2
 SEED=${SEED:-1}
+# client-parallel SPMD rounds (TPU path); PARALLEL_CLIENTS=0 for the
+# sequential host loop
+PARALLEL_FLAG=$([ "${PARALLEL_CLIENTS:-1}" = "1" ] && echo --parallel_clients)
 
 DIR=output/FairLoRA_${CFG}_ema/fairfedmed_${ATTRIBUTE_TYPE}_rank${LoRA_RANK}_alpha${LoRA_ALPHA}/seed${SEED}
 python federated_main.py \
@@ -55,5 +58,6 @@ python federated_main.py \
   --dataset-config-file configs/datasets/fairfedmed.yaml \
   --config-file configs/trainers/GLP_OT/${CFG}.yaml \
   --output-dir ${DIR} \
+  ${PARALLEL_FLAG} \
   --shared_half_s True \
   --lambda_fairness 0.0

@@ -51,3 +51,16 @@ def test_clone_independent():
     d = c.clone()
     d.OPTIM.LR = 123.0
     assert c.OPTIM.LR == 0.0003
+
+
+def test_int_list_argparse_flag():
+    """--idxs_users_train must parse comma-separated ids into ints (the
+    reference's type=list made the flag unusable from a shell)."""
+    import federated_main
+
+    parser = federated_main.build_arg_parser()
+    args = parser.parse_args(["--idxs_users_train", "0,2", "--idxs_users_test", "1"])
+    assert args.idxs_users_train == [0, 2]
+    assert args.idxs_users_test == [1]
+    assert parser.parse_args([]).idxs_users_train == []
+    assert federated_main._int_list(["0", 1]) == [0, 1]

@@ -440,3 +440,9 @@ def test_vit_backbone_global_pool():
     feat, _ = apply(params, stats, x, train=True)
     assert feat.shape == (2, 64)
     assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_transnorm_rejects_odd_train_batch():
+    params, stats = ops.transnorm_init(2)
+    with pytest.raises(ValueError, match="even batch"):
+        ops.transnorm_apply(params, stats, jnp.ones((5, 2)), train=True)

@@ -87,3 +87,31 @@ def test_parallel_promptfl_fedavg_runs(tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+
+
+def _local_args(root, outdir, parallel):
+    a = _fairlora_args(root, outdir, parallel)
+    a.model = "local"
+    a.round = 1
+    return a
+
+
+def test_parallel_matches_sequential_local(fairfedmed_root, tmp_path):
+    """The no-aggregation `local` branch on the mesh path must reproduce the
+    sequential loop: same per-client metrics, same final states (reference
+    federated_main.py:728-773)."""
+    out_seq = federated_main.main(
+        _local_args(fairfedmed_root, str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _local_args(fairfedmed_root, str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        assert set(seq.files) == set(par.files)
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
