@@ -405,6 +405,14 @@ class ParallelRoundRunner:
             print(f"client {idx}: steps {int(n_steps[j])} "
                   f"loss {ms[j, :, 0].sum() / nv:.4f} "
                   f"acc {ms[j, :, 2].sum() / nv:.4f} lr {lrs[j]:.6e}")
+
+        # optional per-round Orbax checkpoint of the whole federated state
+        # (FAIRFEDMED_ROUND_CKPT=<dir>, cadence TRAIN.CHECKPOINT_FREQ)
+        ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
+        if ckpt_dir:
+            freq = max(int(self.cfg.TRAIN.CHECKPOINT_FREQ), 1)
+            if (epoch + 1) % freq == 0 or epoch + 1 >= max_epoch:
+                print(f"round state -> {self.save_round_state(ckpt_dir, epoch)}")
         return ms
 
     def _agg_fn(self, mode: str, has_group_w: bool):
@@ -687,6 +695,35 @@ class ParallelRoundRunner:
         return results
 
     # ------------------------------------------------------------- save
+    def save_round_state(self, directory: str, epoch: int) -> str:
+        """Checkpoint the device-resident federated state — global + stacked
+        per-client trainables, per-client optimizer states, and the LR step
+        counter — as ONE Orbax pytree (train/checkpoint.py).  Beyond-reference
+        capability: the reference ships resume disabled (trainer.py:435-436)
+        and keeps no mid-run federated state at all; here a long run on a
+        preemptible TPU can continue from the last round."""
+        from ..train.checkpoint import save_pytree
+
+        tree = {"global_t": self.global_t, "personal_t": self.personal_t,
+                "stacked_o": self.stacked_o,
+                "lr_steps": int(self.trainer._lr_steps),
+                "epoch": int(epoch)}
+        return save_pytree(directory, tree, step=epoch)
+
+    def load_round_state(self, path: str) -> int:
+        """Restore :meth:`save_round_state` output; returns the saved epoch
+        (resume from epoch+1)."""
+        from ..train.checkpoint import load_pytree
+
+        template = {"global_t": self.global_t, "personal_t": self.personal_t,
+                    "stacked_o": self.stacked_o, "lr_steps": 0, "epoch": 0}
+        tree = load_pytree(path, template=template)
+        self.global_t = tree["global_t"]
+        self.personal_t = tree["personal_t"]
+        self.stacked_o = tree["stacked_o"]
+        self.trainer._lr_steps = int(tree["lr_steps"])
+        return int(tree["epoch"])
+
     def install_client(self, idx: int):
         """Point the trainer's trainable at client ``idx``'s personalized tree
         (stays on device — used for eval and final state export).  Uses the

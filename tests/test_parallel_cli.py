@@ -115,3 +115,31 @@ def test_parallel_matches_sequential_local(fairfedmed_root, tmp_path):
             np.testing.assert_allclose(
                 par[k], seq[k], rtol=1e-4, atol=1e-5,
                 err_msg=f"client {idx} key {k}")
+
+
+def test_round_state_checkpoint_roundtrip(fairfedmed_root, tmp_path, monkeypatch):
+    """FAIRFEDMED_ROUND_CKPT saves the device-resident federated state every
+    TRAIN.CHECKPOINT_FREQ rounds; load_round_state restores it bit for bit."""
+    import jax
+
+    from fairfedmed_tpu.train.checkpoint import latest_step, load_pytree
+
+    ckpt_dir = str(tmp_path / "rounds")
+    monkeypatch.setenv("FAIRFEDMED_ROUND_CKPT", ckpt_dir)
+    args = _fairlora_args(fairfedmed_root, str(tmp_path / "run"), parallel=True)
+    args.opts += ["TRAIN.CHECKPOINT_FREQ", "1"]
+    federated_main.main(args)
+
+    step = latest_step(ckpt_dir)
+    assert step == 1  # 2 rounds, 0-indexed epochs, freq 1 -> last saved is 1
+    tree = load_pytree(f"{ckpt_dir}/step_{step}")
+    assert int(tree["epoch"]) == 1
+    assert int(tree["lr_steps"]) == 4  # 2 clients x 2 rounds
+    # every stacked leaf carries the num_users leading axis
+    for leaf in jax.tree_util.tree_leaves(tree["personal_t"]):
+        assert leaf.shape[0] == 2
+    # restoring into a fresh template reproduces the saved state exactly
+    tree2 = load_pytree(f"{ckpt_dir}/step_{step}", template=tree)
+    for a, b in zip(jax.tree_util.tree_leaves(tree["personal_t"]),
+                    jax.tree_util.tree_leaves(tree2["personal_t"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
