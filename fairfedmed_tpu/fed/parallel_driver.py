@@ -40,15 +40,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import CLIENT_AXIS, DATA_AXIS
-from ..core.pytree import flatten_paths, unflatten_paths
+from ..core.pytree import flatten_paths
 from .aggregate import _freqs
 from .parallel import make_client_train_round
+
+
+def _unflatten_like(template, flat, sep="."):
+    """Rebuild ``template``'s exact container structure (dicts AND lists —
+    RN block stacks are lists) with leaves taken from the dotted-path dict
+    ``flat``.  unflatten_paths alone would turn list indices into dict keys
+    and break tree_map against the original trees."""
+    from typing import Mapping as _Mapping
+
+    def rec(node, path):
+        if isinstance(node, _Mapping):
+            return {k: rec(v, f"{path}{sep}{k}" if path else str(k))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            out = [rec(v, f"{path}{sep}{i}" if path else str(i))
+                   for i, v in enumerate(node)]
+            return out if isinstance(node, list) else tuple(out)
+        return flat[path]
+
+    return rec(template, "")
 
 
 def _map2_with_path(fn, tree_a, tree_b):
     """map_with_path over two trees with identical structure."""
     fa, fb = flatten_paths(tree_a), flatten_paths(tree_b)
-    return unflatten_paths({k: fn(k, fa[k], fb[k]) for k in fa})
+    return _unflatten_like(tree_a, {k: fn(k, fa[k], fb[k]) for k in fa})
 
 
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
@@ -90,9 +110,12 @@ class ParallelRoundRunner:
             return (jax.tree_util.tree_map(stack, t),
                     jax.tree_util.tree_map(stack, o))
 
+        base_t = (trainer.parallel_trainable()
+                  if hasattr(trainer, "parallel_trainable")
+                  else trainer.trainable)
         self.personal_t, self.stacked_o = init_stacked(
-            trainer.trainable, trainer.opt_state)
-        self.global_t = trainer.trainable
+            base_t, trainer.opt_state)
+        self.global_t = base_t
         self._meshes = {}
         self._train_fns = {}
         self._data_cache = {}  # client idx -> device-resident decoded arrays
@@ -140,6 +163,8 @@ class ParallelRoundRunner:
             while c > 1 and (n % c != 0 or m % c != 0):
                 c -= 1
             d = n // c
+            if not getattr(self.trainer, "supports_data_axis", True):
+                d = 1  # e.g. RN BatchNorm: batch stats must span the batch
             while d > 1 and bs % d != 0:
                 d -= 1
             arr = np.asarray(devices[: c * d]).reshape(c, d)
@@ -470,8 +495,8 @@ class ParallelRoundRunner:
                     return g
 
                 flat_g = flatten_paths(global_t)
-                new_global = unflatten_paths(
-                    {k: glob_p(k, v) for k, v in flat_g.items()})
+                new_global = _unflatten_like(
+                    global_t, {k: glob_p(k, v) for k, v in flat_g.items()})
                 new_personal = _map2_with_path(
                     personalize_p, personal_t, new_global)
                 return new_global, new_personal
@@ -487,7 +512,8 @@ class ParallelRoundRunner:
                     personalize_l, personal_t, global_t)
                 return global_t, new_personal
 
-            avg = unflatten_paths({k: wmean(k, v) for k, v in flat.items()})
+            avg = _unflatten_like(global_t,
+                                  {k: wmean(k, v) for k, v in flat.items()})
             if shared_half_s:
                 def half_s(path, x):
                     if "lora_S" in path and x.ndim >= 2 and x.shape[-2] == G:
@@ -497,7 +523,8 @@ class ParallelRoundRunner:
                         return jnp.concatenate([head, x[..., r // 2:]], axis=-1)
                     return x
                 flat_a = flatten_paths(avg)
-                avg = unflatten_paths({k: half_s(k, v) for k, v in flat_a.items()})
+                avg = _unflatten_like(
+                    avg, {k: half_s(k, v) for k, v in flat_a.items()})
             if mode == "ema_personal":
                 new_global = jax.tree_util.tree_map(
                     lambda a, g: ((1.0 - beta_decay) * a
@@ -731,8 +758,12 @@ class ParallelRoundRunner:
         if "install_t" not in self._agg_fns:
             self._agg_fns["install_t"] = jax.jit(
                 lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
-        self.trainer.trainable = self._agg_fns["install_t"](
+        row = self._agg_fns["install_t"](
             self.personal_t, jnp.asarray(int(idx), jnp.int32))
+        if hasattr(self.trainer, "adopt_parallel_trainable"):
+            self.trainer.adopt_parallel_trainable(row)
+        else:
+            self.trainer.trainable = row
 
     def final_state_dict(self, idx: int) -> dict:
         self.install_client(idx)

@@ -361,23 +361,39 @@ class GLPOTBase(TrainerX):
         (fed/parallel_driver.py): ``(trainable, opt_state, frozen, batch) ->
         (trainable, opt_state, metrics[loss, valid, acc])``.
 
-        ViT backbones only: ResNet's mutable BN statistics would need a
-        per-client stats stream threaded through the round.  When ``data_axis``
+        ResNet backbones thread their per-client BatchNorm statistics inside
+        the trainable tree under ``__bn_stats__`` (see
+        :meth:`parallel_trainable`): split out before the grad so the
+        optimizer tree matches, then overwritten with the forward's updated
+        running stats — UNMASKED by OT validity, mirroring the sequential
+        step (torch updates running stats during the forward even when the
+        reference aborts the optimizer step).  The aggregation program then
+        averages them with every other non-special key, matching the
+        reference's buffer-averaging state_dict semantics.  When ``data_axis``
         is given, gradients/metrics are pmean-ed over that mesh axis
         (within-client data parallelism) and OT validity combines with AND so
         every data shard takes the same skip decision.  ``fedprox_mu`` enables
         the FedProx proximal pull toward ``frozen['__ctx_global__']``.
         """
-        if self.backbone_type != "vit":
+        if self.backbone_type == "resnet" and data_axis is not None:
+            # per-shard BN batch statistics would diverge from the sequential
+            # oracle; the runner builds (clients, 1) meshes for RN instead
             raise NotImplementedError(
-                "parallel client rounds support ViT backbones only")
+                "RN parallel rounds do not shard the within-client batch")
         loss_fn = self._build_loss_fn()
         tx = self.tx
+        has_stats = self.backbone_type == "resnet"
 
         def local_step(trainable, opt_state, frozen, batch):
             ctx_g = frozen["__ctx_global__"] if fedprox_mu is not None else None
-            (loss, (logits, valid, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable, frozen, {}, batch["img"], batch["label"],
+            if has_stats:
+                stats = trainable["__bn_stats__"]
+                params = {k: v for k, v in trainable.items()
+                          if k != "__bn_stats__"}
+            else:
+                stats, params = {}, trainable
+            (loss, (logits, valid, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, frozen, stats, batch["img"], batch["label"],
                 batch.get("attr"), ctx_g,
                 jnp.float32(0.0 if fedprox_mu is None else fedprox_mu))
             acc = accuracy_from_logits(logits, batch["label"])
@@ -386,12 +402,14 @@ class GLPOTBase(TrainerX):
                 loss = jax.lax.pmean(loss, data_axis)
                 acc = jax.lax.pmean(acc, data_axis)
                 valid = jax.lax.pmin(valid.astype(jnp.int32), data_axis).astype(jnp.bool_)
-            updates, new_opt_state = tx.update(grads, opt_state, trainable)
-            new_trainable = optax.apply_updates(trainable, updates)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_trainable = optax.apply_updates(params, updates)
             keep = lambda new, old: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(valid, a, b), new, old)
-            trainable = keep(new_trainable, trainable)
+            trainable = keep(new_trainable, params)
             opt_state = keep(new_opt_state, opt_state)
+            if has_stats:
+                trainable = dict(trainable, __bn_stats__=new_stats)
             # zero BOTH loss and acc on an invalid (NaN-OT) step: the round
             # runner divides each by the valid count, so an unmasked acc
             # would inflate the per-client average exactly when OT diverges
@@ -405,17 +423,45 @@ class GLPOTBase(TrainerX):
     def make_parallel_infer(self):
         """Functional eval forward for the client-parallel batched eval
         (fed/parallel_driver.py): ``(trainable, frozen, image, attr) ->
-        logits``.  ViT-only, like make_parallel_local_step."""
-        if self.backbone_type != "vit":
-            raise NotImplementedError(
-                "parallel client rounds support ViT backbones only")
+        logits``.  RN trees carry their running stats under ``__bn_stats__``
+        (parallel_trainable) and evaluate with them."""
 
         def infer(trainable, frozen, image, attr):
-            logits, _, _ = self._forward(trainable, frozen, {}, image, attr,
+            if "__bn_stats__" in trainable:
+                stats = trainable["__bn_stats__"]
+                trainable = {k: v for k, v in trainable.items()
+                             if k != "__bn_stats__"}
+            else:
+                stats = {}
+            logits, _, _ = self._forward(trainable, frozen, stats, image, attr,
                                          train=False)
             return logits
 
         return infer
+
+    def parallel_trainable(self):
+        """The pytree the client-parallel runner stacks per client: for RN
+        backbones the BatchNorm running statistics ride along under
+        ``__bn_stats__`` so each client's stats stream stays personal and
+        aggregates with the state (reference buffers travel in state_dict,
+        fed_utils.py:6-40)."""
+        if self.backbone_type == "resnet":
+            return dict(self.trainable, __bn_stats__=self.stats)
+        return self.trainable
+
+    def adopt_parallel_trainable(self, tree):
+        """Install a tree produced by :meth:`parallel_trainable` (or one
+        client's row of the stacked state) back into the trainer."""
+        if isinstance(tree, dict) and "__bn_stats__" in tree:
+            self.stats = tree["__bn_stats__"]
+            tree = {k: v for k, v in tree.items() if k != "__bn_stats__"}
+        self.trainable = tree
+
+    @property
+    def supports_data_axis(self):
+        """RN BatchNorm batch statistics are per-shard; within-client data
+        sharding would change them vs the sequential oracle."""
+        return self.backbone_type == "vit"
 
     def _compile_steps(self):
         loss_fn = self._build_loss_fn()

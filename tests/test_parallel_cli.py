@@ -143,3 +143,32 @@ def test_round_state_checkpoint_roundtrip(fairfedmed_root, tmp_path, monkeypatch
     for a, b in zip(jax.tree_util.tree_leaves(tree["personal_t"]),
                     jax.tree_util.tree_leaves(tree2["personal_t"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _fairlora_rn_args(root, outdir, parallel):
+    a = _fairlora_args(root, outdir, parallel)
+    a.backbone = "test-rn"
+    return a
+
+
+def test_parallel_matches_sequential_fairlora_rn(fairfedmed_root, tmp_path):
+    """RN backbone on the mesh path: per-client BatchNorm statistics ride the
+    stacked trainable (__bn_stats__), update unmasked like the sequential
+    step, and aggregate with the state — metrics and final states must match
+    the sequential loop."""
+    out_seq = federated_main.main(
+        _fairlora_rn_args(fairfedmed_root, str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _fairlora_rn_args(fairfedmed_root, str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        assert set(seq.files) == set(par.files)
+        assert any("running_mean" in k for k in seq.files)  # stats federate
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
