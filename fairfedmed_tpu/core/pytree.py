@@ -45,6 +45,24 @@ def unflatten_paths(flat: Mapping[str, Any], sep: str = ".") -> dict:
     return out
 
 
+def unflatten_like(template: Any, flat: Mapping[str, Any], sep: str = ".") -> Any:
+    """Rebuild ``template``'s exact container structure (dicts AND lists —
+    e.g. RN block stacks) with leaves taken from the dotted-path dict
+    ``flat``, no dtype casting.  :func:`unflatten_paths` alone would turn
+    list indices into dict keys and break tree_map against the original."""
+    def rec(node, path):
+        if isinstance(node, Mapping):
+            return {k: rec(v, f"{path}{sep}{k}" if path else str(k))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            out = [rec(v, f"{path}{sep}{i}" if path else str(i))
+                   for i, v in enumerate(node)]
+            return out if isinstance(node, list) else tuple(out)
+        return flat[path]
+
+    return rec(template, "")
+
+
 def tree_paths(tree: Any, sep: str = ".") -> list:
     return list(flatten_paths(tree, sep=sep))
 

@@ -40,29 +40,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import CLIENT_AXIS, DATA_AXIS
-from ..core.pytree import flatten_paths
+from ..core.pytree import flatten_paths, unflatten_like as _unflatten_like
 from .aggregate import _freqs
 from .parallel import make_client_train_round
-
-
-def _unflatten_like(template, flat, sep="."):
-    """Rebuild ``template``'s exact container structure (dicts AND lists —
-    RN block stacks are lists) with leaves taken from the dotted-path dict
-    ``flat``.  unflatten_paths alone would turn list indices into dict keys
-    and break tree_map against the original trees."""
-    from typing import Mapping as _Mapping
-
-    def rec(node, path):
-        if isinstance(node, _Mapping):
-            return {k: rec(v, f"{path}{sep}{k}" if path else str(k))
-                    for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            out = [rec(v, f"{path}{sep}{i}" if path else str(i))
-                   for i, v in enumerate(node)]
-            return out if isinstance(node, list) else tuple(out)
-        return flat[path]
-
-    return rec(template, "")
 
 
 def _map2_with_path(fn, tree_a, tree_b):
@@ -306,9 +286,11 @@ class ParallelRoundRunner:
         plain weighted average of the full trainable with no personalization;
         ``mode='prompt_personal'`` follows the PromptFL/FedOTP branch — only
         prompt rows [:avg_prompt] aggregate, every client keeps its own local
-        rows, and non-prompt trainables stay per-client local (the sequential
-        path leaks them between clients through the shared trainer — a
-        time-multiplexing artifact we do not reproduce);
+        rows, and non-prompt trainables — including RN ``__bn_stats__`` —
+        stay per-client local (the sequential path leaks them between clients
+        through the shared trainer — a time-multiplexing artifact we do not
+        reproduce; a client unselected so far evaluates with its init stats,
+        never with another client's);
         ``mode='fedavg_personal'`` follows the FedOTPLinearFT branch — plain
         full-state FedAvg (no EMA, no group weighting), with EVERY test user
         keeping its own local prompt rows (+ local lora_S when LOCAL_S): a
@@ -432,12 +414,18 @@ class ParallelRoundRunner:
                   f"acc {ms[j, :, 2].sum() / nv:.4f} lr {lrs[j]:.6e}")
 
         # optional per-round Orbax checkpoint of the whole federated state
-        # (FAIRFEDMED_ROUND_CKPT=<dir>, cadence TRAIN.CHECKPOINT_FREQ)
+        # (FAIRFEDMED_ROUND_CKPT=<dir>; cadence TRAIN.CHECKPOINT_FREQ, engine
+        # convention: <= 0 saves only the final round).  Only the latest step
+        # is kept — resume needs one, and a full stacked state per round
+        # would fill the disk on long runs.
         ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
         if ckpt_dir:
-            freq = max(int(self.cfg.TRAIN.CHECKPOINT_FREQ), 1)
-            if (epoch + 1) % freq == 0 or epoch + 1 >= max_epoch:
+            freq = int(self.cfg.TRAIN.CHECKPOINT_FREQ)
+            due = (epoch + 1 >= max_epoch
+                   or (freq > 0 and (epoch + 1) % freq == 0))
+            if due:
                 print(f"round state -> {self.save_round_state(ckpt_dir, epoch)}")
+                self._prune_round_ckpts(ckpt_dir, keep=epoch)
         return ms
 
     def _agg_fn(self, mode: str, has_group_w: bool):
@@ -679,10 +667,7 @@ class ParallelRoundRunner:
                 attr_batches.append(c["attr_dev"][mi])
         imgs = jnp.stack(imgs)  # [m, S, bs, ...]
         idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
-        if "gather_t" not in self._agg_fns:
-            self._agg_fns["gather_t"] = jax.jit(
-                lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
-        stacked_t = self._agg_fns["gather_t"](self.personal_t, idx_arr)
+        stacked_t = self._gather_rows(self.personal_t, idx_arr)
 
         with_attr = bool(attr_batches)
         if with_attr:
@@ -737,6 +722,37 @@ class ParallelRoundRunner:
                 "epoch": int(epoch)}
         return save_pytree(directory, tree, step=epoch)
 
+    @staticmethod
+    def _prune_round_ckpts(directory: str, keep: int) -> None:
+        """Delete step_N round checkpoints other than ``keep`` (retention 1)."""
+        import os
+        import shutil
+
+        for name in os.listdir(directory):
+            if name.startswith("step_") and name != f"step_{keep}":
+                shutil.rmtree(os.path.join(directory, name),
+                              ignore_errors=True)
+
+    def maybe_resume(self) -> int:
+        """If FAIRFEDMED_ROUND_CKPT holds a saved round, restore it and return
+        the epoch to CONTINUE from (saved epoch + 1); else 0.  Client-sampling
+        RNG state is not restored — frac-sampled rounds after a resume draw a
+        fresh subset, like restarting the reference mid-run would."""
+        import os
+
+        ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
+        if not ckpt_dir:
+            return 0
+        from ..train.checkpoint import latest_step
+
+        step = latest_step(ckpt_dir)
+        if step is None:
+            return 0
+        epoch = self.load_round_state(os.path.join(ckpt_dir, f"step_{step}"))
+        print(f"resumed round state from {ckpt_dir}/step_{step} "
+              f"(continuing at epoch {epoch + 1})")
+        return epoch + 1
+
     def load_round_state(self, path: str) -> int:
         """Restore :meth:`save_round_state` output; returns the saved epoch
         (resume from epoch+1)."""
@@ -751,15 +767,20 @@ class ParallelRoundRunner:
         self.trainer._lr_steps = int(tree["lr_steps"])
         return int(tree["epoch"])
 
+    def _gather_rows(self, tree, idx):
+        """ONE jitted dispatch gathering ``idx`` rows (scalar or vector) from
+        a stacked tree — shared by batched eval and install_client."""
+        if "gather_t" not in self._agg_fns:
+            self._agg_fns["gather_t"] = jax.jit(
+                lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
+        return self._agg_fns["gather_t"](tree, idx)
+
     def install_client(self, idx: int):
         """Point the trainer's trainable at client ``idx``'s personalized tree
         (stays on device — used for eval and final state export).  Uses the
         cached jitted gather so the pull is ONE dispatch, not one per leaf."""
-        if "install_t" not in self._agg_fns:
-            self._agg_fns["install_t"] = jax.jit(
-                lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t))
-        row = self._agg_fns["install_t"](
-            self.personal_t, jnp.asarray(int(idx), jnp.int32))
+        row = self._gather_rows(self.personal_t,
+                                jnp.asarray(int(idx), jnp.int32))
         if hasattr(self.trainer, "adopt_parallel_trainable"):
             self.trainer.adopt_parallel_trainable(row)
         else:

@@ -203,7 +203,11 @@ def main(args):
     global_epoch_list, global_time_list = [], []
     start = time.time()
 
-    for epoch in range(max_epoch):
+    # preemption recovery: when FAIRFEDMED_ROUND_CKPT holds a saved round,
+    # restore the device-resident federated state and continue after it
+    start_epoch = runner.maybe_resume() if runner is not None else 0
+
+    for epoch in range(start_epoch, max_epoch):
         if args.trainer == "CLIP":
             # zero-shot eval-only round (federated_main.py:223-267)
             print("------------local test start-------------")

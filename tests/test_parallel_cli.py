@@ -172,3 +172,35 @@ def test_parallel_matches_sequential_fairlora_rn(fairfedmed_root, tmp_path):
             np.testing.assert_allclose(
                 par[k], seq[k], rtol=1e-4, atol=1e-5,
                 err_msg=f"client {idx} key {k}")
+
+
+def test_parallel_fedotp_rn_runs(fairfedmed_root, tmp_path):
+    """FedOTP (prompt_personal mode) on an RN backbone rides the mesh path:
+    per-client BN stats stay local like every non-prompt trainable."""
+    a = _fairlora_rn_args(fairfedmed_root, str(tmp_path / "out"), parallel=True)
+    a.model = "FedOTP"
+    a.trainer = "GLP_OT"
+    out = federated_main.main(a)
+    assert len(out["acc"]) == 2
+    assert np.isfinite(out["acc"]).all()
+
+
+def test_round_state_resume_continues(fairfedmed_root, tmp_path, monkeypatch):
+    """A relaunch with FAIRFEDMED_ROUND_CKPT set picks up the saved round and
+    trains only the remaining epochs (preemption recovery)."""
+    ckpt = str(tmp_path / "rounds")
+    monkeypatch.setenv("FAIRFEDMED_ROUND_CKPT", ckpt)
+    a1 = _fairlora_args(fairfedmed_root, str(tmp_path / "run1"), parallel=True)
+    a1.opts = a1.opts + ["TRAIN.CHECKPOINT_FREQ", "1"]
+    federated_main.main(a1)  # rounds 0..1, saves step_1 (step_0 pruned)
+    import os
+
+    assert os.listdir(ckpt) == ["step_1"]
+
+    a2 = _fairlora_args(fairfedmed_root, str(tmp_path / "run2"), parallel=True)
+    a2.round = 4
+    a2.opts = a2.opts + ["TRAIN.CHECKPOINT_FREQ", "1"]
+    out2 = federated_main.main(a2)
+    assert len(out2["acc"]) == 2  # resumed at epoch 2: only rounds 2 and 3 ran
+    assert np.isfinite(out2["acc"]).all()
+    assert os.listdir(ckpt) == ["step_3"]
