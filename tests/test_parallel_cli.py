@@ -204,3 +204,22 @@ def test_round_state_resume_continues(fairfedmed_root, tmp_path, monkeypatch):
     assert len(out2["acc"]) == 2  # resumed at epoch 2: only rounds 2 and 3 ran
     assert np.isfinite(out2["acc"]).all()
     assert os.listdir(ckpt) == ["step_3"]
+
+
+def test_parallel_matches_sequential_promptfl_fedavg(fairfedmed_root, tmp_path):
+    """fedavg-mode parity (PromptFL trainer): every client restarts from the
+    fresh global each round, so with momentum-free SGD the mesh path must
+    reproduce the sequential metrics exactly."""
+    def mk(outdir, par):
+        a = _fairlora_args(fairfedmed_root, outdir, par)
+        a.model = "fedavg"
+        a.trainer = "PromptFL"
+        # PromptFL reads its own PREC node; bf16 matmul reassociation between
+        # the sequential and vmapped programs is otherwise visible at tiny scale
+        a.opts = a.opts + ["TRAINER.PROMPTFL.PREC", "fp32"]
+        return a
+
+    out_seq = federated_main.main(mk(str(tmp_path / "seq"), False))
+    out_par = federated_main.main(mk(str(tmp_path / "par"), True))
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
