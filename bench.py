@@ -37,6 +37,17 @@ import optax
 REF_GPU_IMGS_PER_SEC = 175.0
 BASELINE_BASIS = ("derived: DeiT Table-1 292 img/s (ViT-B/16 fp16 train, V100, "
                   "optimized) x 0.6 eager/batch-32/per-step-sync factor")
+# Reference ROUND-level throughput (the BASELINE.md north-star unit) for the
+# bench's 2-client/160-image round, derived from the same 175 img/s step rate
+# plus the reference round's fixed costs (federated_main.py:616-726): train
+# 128 img / 175 = 0.73 s; eval 32 img at ~3x the train rate (forward-only,
+# eager) = 0.06 s; one full state_dict deepcopy + load_state_dict per client
+# (~300 MB fp16 each) ~= 0.3 s; host-loop aggregation over ~200 tensors
+# ~= 0.1 s  ->  ~1.2 s / 160 img.
+REF_GPU_ROUND_IMGS_PER_SEC = 133.0
+ROUND_BASELINE_BASIS = ("derived: 175 img/s step rate + per-round deepcopy/"
+                        "load_state_dict + serial eval costs of the reference "
+                        "round loop (federated_main.py:616-726)")
 BATCH = 32
 WARMUP = 3
 ITERS = 50  # ~1.8s measured window — tunnel-noise resistant
@@ -145,6 +156,7 @@ def main_round(emit=True):
     work = tempfile.mkdtemp(prefix="benchround_")
     try:
         n_train, n_test, users = 64, 16, 2
+        n_rounds = 6  # rounds 0-1 pay compiles; steady = median of the rest
         make_fairfedmed_fixture(work, n_sites=users, n_train=n_train,
                                 n_test=n_test, size=224)
         parser = federated_main.build_arg_parser()
@@ -152,7 +164,8 @@ def main_round(emit=True):
         args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
                      "SEED", "1", "TEST.EVALUATOR", "Classification_oph"]
         for k, v in dict(
-            model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=3, num_users=users,
+            model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=n_rounds,
+            num_users=users,
             frac=1.0, root=work, output_dir=os.path.join(work, "out"),
             train_batch_size=32, test_batch_size=32, n_ctx=4, num_prompt=2,
             avg_prompt=1, OT="None", backbone="ViT-B/16", attribute_type="race",
@@ -170,15 +183,20 @@ def main_round(emit=True):
                 contextlib.redirect_stdout(log):
             out = federated_main.main(args)
         # rounds 0-1 pay compiles and cache warm-up (device-resident data,
-        # resharded-state retraces); the LAST round is steady state
-        steady = out["time"][-1] - out["time"][-2]
+        # resharded-state retraces); steady state = MEDIAN of the remaining
+        # per-round times (a single round is noisy over the remote-TPU tunnel)
+        import statistics
+
+        deltas = [out["time"][i] - out["time"][i - 1]
+                  for i in range(3, len(out["time"]))]
+        steady = statistics.median(deltas)
         imgs = users * (n_train + n_test)  # train + eval images per round
         record = {
             "metric": "fairlora_vitb16_fed_round_imgs_per_sec_per_chip",
             "value": round(imgs / steady, 2),
             "unit": "images/sec/chip (full round: load+train+eval+agg)",
-            "vs_baseline": round((imgs / steady) / REF_GPU_IMGS_PER_SEC, 3),
-            "baseline_basis": BASELINE_BASIS,
+            "vs_baseline": round((imgs / steady) / REF_GPU_ROUND_IMGS_PER_SEC, 3),
+            "baseline_basis": ROUND_BASELINE_BASIS,
         }
         if emit:
             print(json.dumps(record))
@@ -200,6 +218,8 @@ if __name__ == "__main__":
                 record["round_imgs_per_sec"] = round_rec["value"]
                 record["round_vs_step"] = round(
                     round_rec["value"] / record["value"], 4)
+                record["round_vs_baseline_round"] = round(
+                    round_rec["value"] / REF_GPU_ROUND_IMGS_PER_SEC, 3)
             except Exception as e:  # round bench must never blank the artifact
                 record["round_error"] = f"{type(e).__name__}: {e}"
         print(json.dumps(record))
