@@ -24,6 +24,11 @@ class Logger:
         self.console.write(msg)
         if self.file is not None:
             self.file.write(msg)
+            if "\n" in msg:
+                # line-buffer the file so a preempted/killed run keeps its log
+                # tail (print() never calls flush on non-tty streams; fsync is
+                # reserved for explicit flush())
+                self.file.flush()
 
     def flush(self):
         self.console.flush()

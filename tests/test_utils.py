@@ -56,11 +56,12 @@ def test_logger_tee(tmp_path):
     try:
         setup_logger(out_dir)
         print("hello-tee-check")
-        sys.stdout.flush()
+        # line-buffered: the tail must be on disk WITHOUT an explicit flush
+        # (a preempted run keeps its log)
+        with open(os.path.join(out_dir, "log.txt")) as f:
+            assert "hello-tee-check" in f.read()
     finally:
         sys.stdout = old_stdout
-    with open(os.path.join(out_dir, "log.txt")) as f:
-        assert "hello-tee-check" in f.read()
 
 
 def test_ascii_table_and_count_parameters():
