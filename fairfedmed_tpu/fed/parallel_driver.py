@@ -277,7 +277,8 @@ class ParallelRoundRunner:
     def run_round(self, epoch: int, idxs_users: Sequence[int], max_epoch: int,
                   mode: str = "ema_personal",
                   test_users: Optional[Sequence[int]] = None,
-                  fedprox_mu: Optional[float] = None):
+                  fedprox_mu: Optional[float] = None,
+                  eval_users: Optional[Sequence[int]] = None):
         """Train the selected clients in parallel, aggregate, personalize.
 
         ``mode='ema_personal'`` follows the FedOTPLoRA branch (EMA aggregation,
@@ -403,6 +404,16 @@ class ParallelRoundRunner:
             jax.block_until_ready(self.personal_t)
             print(f"[timing] aggregate+scatter: {tick() - t0:.3f}s")
             t0 = tick()
+
+        # --- pipelining: dispatch the round's eval program NOW (it queues
+        # behind the aggregation on the device stream) so its execution
+        # overlaps the host-side metrics fetch below; parallel_eval picks the
+        # pending dispatch up
+        self._pending_eval = (self._eval_dispatch([int(i) for i in eval_users])
+                              if eval_users is not None else None)
+        if timing and self._pending_eval is not None:
+            t0 = tick()
+
         # --- metrics: ONE host fetch for the whole round
         ms = np.asarray(metrics)  # [m, S, 3] — loss, valid, acc (0 on pad)
         if timing:
@@ -628,13 +639,28 @@ class ParallelRoundRunner:
         ``SimpleTrainer.test`` line for line.  Returns None when any client
         lacks a device eval cache (caller falls back to the sequential loop).
         """
+        idxs_users = [int(i) for i in idxs_users]
+        pending = getattr(self, "_pending_eval", None)
+        self._pending_eval = None
+        if pending is not None and pending["idxs"] == idxs_users:
+            ctx = pending  # dispatched inside run_round, overlapping the
+            # metrics fetch — the logits may already be computed
+        else:
+            ctx = self._eval_dispatch(idxs_users)
+        if ctx is None:
+            return None
+        return self._eval_finish(ctx, current_epoch)
+
+    def _eval_dispatch(self, idxs_users):
+        """Assemble the batched eval inputs and DISPATCH the logits program
+        (no host sync).  Returns an opaque context for :meth:`_eval_finish`,
+        or None when any client lacks a device eval cache."""
         import os
         import time as _time
         timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
         tick = _time.perf_counter
         t0 = tick()
 
-        idxs_users = [int(i) for i in idxs_users]
         caches = [self._ensure_eval_cache(i) for i in idxs_users]
         if not caches or any(c is None for c in caches):
             return None
@@ -677,8 +703,22 @@ class ParallelRoundRunner:
             logits = self._eval_program(False)(stacked_t, trainer.frozen, imgs)
         if timing:
             print(f"[timing] eval assemble+dispatch: {tick() - t0:.3f}s")
-            t0 = tick()
-        logits_np = np.asarray(logits, np.float32)  # ONE fetch: [m, S, bs, C]
+        return {"idxs": list(idxs_users), "logits": logits, "caches": caches,
+                "mats": mats, "n_valids": n_valids}
+
+    def _eval_finish(self, ctx, current_epoch: int):
+        """Fetch the dispatched logits (one transfer) and run each client's
+        evaluator on host."""
+        import os
+        import time as _time
+        timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
+        tick = _time.perf_counter
+        t0 = tick()
+
+        trainer = self.trainer
+        idxs_users = ctx["idxs"]
+        caches, mats, n_valids = ctx["caches"], ctx["mats"], ctx["n_valids"]
+        logits_np = np.asarray(ctx["logits"], np.float32)  # ONE fetch
         if timing:
             print(f"[timing] eval logits fetch: {tick() - t0:.3f}s")
             t0 = tick()

@@ -230,7 +230,8 @@ def main(args):
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
             if runner is not None:
-                runner.run_round(epoch, list(idxs_users), max_epoch, mode="fedavg")
+                runner.run_round(epoch, list(idxs_users), max_epoch, mode="fedavg",
+                                 eval_users=list(range(cfg.DATASET.USERS)))
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
                 results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
@@ -263,7 +264,8 @@ def main(args):
             print("------------local train start epoch:", epoch, "-------------")
             if runner is not None:
                 runner.run_round(epoch, list(idxs_users), max_epoch,
-                                 mode="fedavg", fedprox_mu=float(args.mu))
+                                 mode="fedavg", fedprox_mu=float(args.mu),
+                                 eval_users=list(idxs_users))
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
                 # fedprox evaluates only the round's selected users
@@ -302,7 +304,8 @@ def main(args):
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
             if runner is not None:
-                runner.run_round(epoch, idxs_users, max_epoch, mode="prompt_personal")
+                runner.run_round(epoch, idxs_users, max_epoch, mode="prompt_personal",
+                                 eval_users=list(range(cfg.DATASET.USERS)))
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
                 results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
@@ -354,7 +357,8 @@ def main(args):
             if runner is not None:
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
                 runner.run_round(epoch, idxs_users, max_epoch,
-                                 mode="ema_personal", test_users=all_users)
+                                 mode="ema_personal", test_users=all_users,
+                                 eval_users=None if skip_eval else all_users)
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("Use EMA")
                 if skip_eval:
@@ -425,7 +429,8 @@ def main(args):
             if runner is not None:
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
                 runner.run_round(epoch, idxs_users, max_epoch,
-                                 mode="fedavg_personal", test_users=all_users)
+                                 mode="fedavg_personal", test_users=all_users,
+                                 eval_users=all_users)
                 print("------------local train finish epoch:", epoch, "-------------")
                 print("------------local test start-------------")
                 results = runner.parallel_eval(all_users, epoch)
@@ -474,7 +479,7 @@ def main(args):
             if runner is not None:
                 idxs = [int(i) for i in idxs_users]
                 runner.run_round(epoch, idxs, max_epoch, mode="local_personal",
-                                 test_users=idxs)
+                                 test_users=idxs, eval_users=idxs)
                 results = runner.parallel_eval(idxs, epoch)
                 if results is None:
                     results = []
