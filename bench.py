@@ -154,6 +154,9 @@ def main_round(emit=True):
     import federated_main
 
     work = tempfile.mkdtemp(prefix="benchround_")
+    # the embedded run must NOT inherit the user's round-checkpoint dir:
+    # it would resume the bench fixture from (or prune) a real run's state
+    saved_ckpt_env = os.environ.pop("FAIRFEDMED_ROUND_CKPT", None)
     try:
         n_train, n_test, users = 64, 16, 2
         n_rounds = 6  # rounds 0-1 pay compiles; steady = median of the rest
@@ -188,7 +191,7 @@ def main_round(emit=True):
         import statistics
 
         deltas = [out["time"][i] - out["time"][i - 1]
-                  for i in range(3, len(out["time"]))]
+                  for i in range(2, len(out["time"]))]  # rounds 2..n-1
         steady = statistics.median(deltas)
         imgs = users * (n_train + n_test)  # train + eval images per round
         record = {
@@ -202,6 +205,8 @@ def main_round(emit=True):
             print(json.dumps(record))
         return record
     finally:
+        if saved_ckpt_env is not None:
+            os.environ["FAIRFEDMED_ROUND_CKPT"] = saved_ckpt_env
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -101,6 +101,7 @@ class ParallelRoundRunner:
         self._data_cache = {}  # client idx -> device-resident decoded arrays
         self._eval_cache = {}
         self._agg_fns = {}
+        self._saved_steps = set()  # round checkpoints THIS run wrote
         # persistent state lives replicated over ALL devices; a round whose
         # mesh spans a device subset (frac-sampled m with awkward divisors)
         # reshards its outputs back here before aggregation
@@ -425,15 +426,15 @@ class ParallelRoundRunner:
                   f"acc {ms[j, :, 2].sum() / nv:.4f} lr {lrs[j]:.6e}")
 
         # optional per-round Orbax checkpoint of the whole federated state
-        # (FAIRFEDMED_ROUND_CKPT=<dir>; cadence TRAIN.CHECKPOINT_FREQ, engine
-        # convention: <= 0 saves only the final round).  Only the latest step
-        # is kept — resume needs one, and a full stacked state per round
-        # would fill the disk on long runs.
+        # (FAIRFEDMED_ROUND_CKPT=<dir> is the opt-in; TRAIN.CHECKPOINT_FREQ
+        # refines the cadence, with the config default 0 meaning EVERY round —
+        # preemption recovery is the whole point of setting the variable).
+        # Only this run's latest step is kept — resume needs one, and a full
+        # stacked state per round would fill the disk on long runs.
         ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
         if ckpt_dir:
-            freq = int(self.cfg.TRAIN.CHECKPOINT_FREQ)
-            due = (epoch + 1 >= max_epoch
-                   or (freq > 0 and (epoch + 1) % freq == 0))
+            freq = max(int(self.cfg.TRAIN.CHECKPOINT_FREQ), 1)
+            due = (epoch + 1 >= max_epoch or (epoch + 1) % freq == 0)
             if due:
                 print(f"round state -> {self.save_round_state(ckpt_dir, epoch)}")
                 self._prune_round_ckpts(ckpt_dir, keep=epoch)
@@ -747,6 +748,17 @@ class ParallelRoundRunner:
         return results
 
     # ------------------------------------------------------------- save
+    def _run_fingerprint(self) -> int:
+        """Stable id of the run shape a round checkpoint belongs to: restoring
+        into a different model/user-count is either an opaque Orbax structure
+        error or silent weight adoption — both worse than a clean restart."""
+        import zlib
+
+        key = "|".join([str(self.num_users), str(self.args.model),
+                        str(self.cfg.TRAINER.NAME),
+                        str(self.cfg.MODEL.BACKBONE.NAME)])
+        return zlib.crc32(key.encode())
+
     def save_round_state(self, directory: str, epoch: int) -> str:
         """Checkpoint the device-resident federated state — global + stacked
         per-client trainables, per-client optimizer states, and the LR step
@@ -759,24 +771,30 @@ class ParallelRoundRunner:
         tree = {"global_t": self.global_t, "personal_t": self.personal_t,
                 "stacked_o": self.stacked_o,
                 "lr_steps": int(self.trainer._lr_steps),
-                "epoch": int(epoch)}
-        return save_pytree(directory, tree, step=epoch)
+                "epoch": int(epoch),
+                "fingerprint": self._run_fingerprint()}
+        path = save_pytree(directory, tree, step=epoch)
+        self._saved_steps.add(epoch)
+        return path
 
-    @staticmethod
-    def _prune_round_ckpts(directory: str, keep: int) -> None:
-        """Delete step_N round checkpoints other than ``keep`` (retention 1)."""
+    def _prune_round_ckpts(self, directory: str, keep: int) -> None:
+        """Delete step_N checkpoints THIS RUN wrote, except ``keep``
+        (retention 1).  Steps the runner did not create — another
+        experiment's checkpoints in a shared directory — are left alone."""
         import os
         import shutil
 
-        for name in os.listdir(directory):
-            if name.startswith("step_") and name != f"step_{keep}":
-                shutil.rmtree(os.path.join(directory, name),
+        for step in list(self._saved_steps):
+            if step != keep:
+                shutil.rmtree(os.path.join(directory, f"step_{step}"),
                               ignore_errors=True)
+                self._saved_steps.discard(step)
 
     def maybe_resume(self) -> int:
-        """If FAIRFEDMED_ROUND_CKPT holds a saved round, restore it and return
-        the epoch to CONTINUE from (saved epoch + 1); else 0.  Client-sampling
-        RNG state is not restored — frac-sampled rounds after a resume draw a
+        """If FAIRFEDMED_ROUND_CKPT holds a saved round OF THIS RUN SHAPE
+        (fingerprint: users/model/trainer/backbone), restore it and return the
+        epoch to CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG
+        state is not restored — frac-sampled rounds after a resume draw a
         fresh subset, like restarting the reference mid-run would."""
         import os
 
@@ -788,7 +806,13 @@ class ParallelRoundRunner:
         step = latest_step(ckpt_dir)
         if step is None:
             return 0
-        epoch = self.load_round_state(os.path.join(ckpt_dir, f"step_{step}"))
+        try:
+            epoch = self.load_round_state(os.path.join(ckpt_dir, f"step_{step}"))
+        except Exception as e:  # stale/foreign checkpoint: start fresh
+            print(f"ignoring round checkpoint {ckpt_dir}/step_{step}: {e}")
+            return 0
+        # adopt the resumed lineage so retention prunes it after the next save
+        self._saved_steps.add(step)
         print(f"resumed round state from {ckpt_dir}/step_{step} "
               f"(continuing at epoch {epoch + 1})")
         return epoch + 1
@@ -799,8 +823,13 @@ class ParallelRoundRunner:
         from ..train.checkpoint import load_pytree
 
         template = {"global_t": self.global_t, "personal_t": self.personal_t,
-                    "stacked_o": self.stacked_o, "lr_steps": 0, "epoch": 0}
+                    "stacked_o": self.stacked_o, "lr_steps": 0, "epoch": 0,
+                    "fingerprint": 0}
         tree = load_pytree(path, template=template)
+        if int(tree["fingerprint"]) != self._run_fingerprint():
+            raise ValueError(
+                "round checkpoint belongs to a different run shape "
+                "(users/model/trainer/backbone mismatch)")
         self.global_t = tree["global_t"]
         self.personal_t = tree["personal_t"]
         self.stacked_o = tree["stacked_o"]

@@ -206,6 +206,10 @@ def main(args):
     # preemption recovery: when FAIRFEDMED_ROUND_CKPT holds a saved round,
     # restore the device-resident federated state and continue after it
     start_epoch = runner.maybe_resume() if runner is not None else 0
+    if start_epoch >= max_epoch:
+        print(f"resumed checkpoint is at epoch {start_epoch - 1} >= "
+              f"--round {max_epoch}: training already complete, only "
+              "re-saving final weights")
 
     for epoch in range(start_epoch, max_epoch):
         if args.trainer == "CLIP":

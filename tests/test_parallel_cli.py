@@ -223,3 +223,16 @@ def test_parallel_matches_sequential_promptfl_fedavg(fairfedmed_root, tmp_path):
     out_par = federated_main.main(mk(str(tmp_path / "par"), True))
     np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
     np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+
+
+def test_round_state_fingerprint_guards_resume(fairfedmed_root, tmp_path, monkeypatch):
+    """A checkpoint from a different run shape (other backbone here) must be
+    ignored with a message, not restored into the wrong template."""
+    ckpt = str(tmp_path / "rounds")
+    monkeypatch.setenv("FAIRFEDMED_ROUND_CKPT", ckpt)
+    a1 = _fairlora_args(fairfedmed_root, str(tmp_path / "run1"), parallel=True)
+    federated_main.main(a1)  # ViT run saves its rounds
+
+    a2 = _fairlora_rn_args(fairfedmed_root, str(tmp_path / "run2"), parallel=True)
+    out2 = federated_main.main(a2)  # RN run: fingerprint mismatch
+    assert len(out2["acc"]) == 2  # started fresh, trained ALL rounds
