@@ -68,13 +68,55 @@ class FedChexMimicDataset:
         counts = np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1)
         return counts.tolist()
 
-    def load_item(self, i: int):
+    _pool = None  # shared native prefetch pool (lazy), like FairFedMedDataset
+
+    @classmethod
+    def _get_pool(cls):
+        if cls._pool is None:
+            from ...native import PrefetchPool
+            cls._pool = PrefetchPool(n_threads=2)
+        return cls._pool
+
+    def prefetch(self, idxs):
+        """Queue upcoming X-rays on the native JPEG decode pool (GIL-free
+        libjpeg + bilinear resize in C++ threads)."""
+        if not hasattr(self, "_tickets"):
+            self._tickets = {}
+        pool = self._get_pool()
+        for i in idxs:
+            i = int(i)
+            if i in self._tickets:
+                continue
+            path = os.path.join(self.data_path, self.data_files[i])
+            self._tickets[i] = pool.submit_jpeg(path, self.resolution)
+
+    def clear_prefetch(self):
+        """Drop uncollected tickets (interrupted epoch)."""
+        tickets = getattr(self, "_tickets", None)
+        if not tickets:
+            return
+        pool = self._get_pool()
+        for t in tickets.values():
+            pool.discard(t)
+        tickets.clear()
+
+    def _decode(self, i: int) -> np.ndarray:
+        # prefetched tickets decode on GIL-free C++ threads, OVERLAPPING the
+        # trainer's host work; the synchronous fallback stays PIL+cv2 (its
+        # SIMD resize beats the scalar native kernel when nothing overlaps —
+        # measured 74 vs 90 ms / 64 images)
+        tickets = getattr(self, "_tickets", None)
+        if tickets and i in tickets:
+            return self._get_pool().collect(tickets.pop(i))
         path = os.path.join(self.data_path, self.data_files[i])
         image = np.array(Image.open(path).convert("L"), dtype=np.float32)
         if image.shape[0] != self.resolution or image.shape[1] != self.resolution:
             image = cv2.resize(image, (self.resolution, self.resolution),
                                interpolation=cv2.INTER_LINEAR)
-        img = image[None]
+        return image
+
+    def load_item(self, i: int):
+        img = self._decode(int(i))[None]
         if self.depth > 1:
             img = np.repeat(img, self.depth, axis=0)
         attrs = self.data_attributes[i]

@@ -42,13 +42,17 @@ _DTYPES = {
 def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-lz", "-lpthread"],
-            check=True, capture_output=True, text=True)
-        return _SO
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+    base = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO,
+            "-lz", "-lpthread"]
+    # prefer the JPEG-enabled build (FedChexMimic decode path); fall back to
+    # NPZ-only when libjpeg headers are absent
+    for cmd in (base[:1] + ["-DFFM_WITH_JPEG"] + base[1:] + ["-ljpeg"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return _SO
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return None
 
 
 def _load():
@@ -85,12 +89,36 @@ def _load():
         lib.nlp_collect.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                     ctypes.c_void_p, ctypes.c_int64]
         lib.nlp_discard.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        if hasattr(lib, "njd_decode_gray"):  # FFM_WITH_JPEG build
+            lib.njd_decode_gray.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                            ctypes.POINTER(ctypes.c_float)]
+            lib.nlp_submit_jpeg.restype = ctypes.c_long
+            lib.nlp_submit_jpeg.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                            ctypes.c_int]
         _lib = lib
         return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "njd_decode_gray")
+
+
+def decode_jpeg_gray(path: str, resolution: int) -> Optional[np.ndarray]:
+    """Native grayscale JPEG decode + bilinear resize to
+    ``(resolution, resolution)`` fp32 (0-255), or None when the JPEG-enabled
+    native build is unavailable or the file can't be decoded."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "njd_decode_gray"):
+        return None
+    out = np.empty((resolution, resolution), np.float32)
+    rc = lib.njd_decode_gray(path.encode(), resolution,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
 
 
 class NpzReader:
@@ -181,6 +209,25 @@ class PrefetchPool:
         if t < 0:
             raise IOError(f"cannot open {path}")
         return t
+
+    def submit_jpeg(self, path: str, resolution: int):
+        """Queue a grayscale-JPEG decode+resize job (FedChexMimic X-rays);
+        resolves through the same collect/discard machinery."""
+        if self._p is None or not hasattr(self._lib or (), "njd_decode_gray"):
+            from . import decode_jpeg_gray as _sync_decode
+
+            arr = _sync_decode(path, resolution)
+            if arr is None:  # no native JPEG path at all: PIL fallback
+                import cv2
+                from PIL import Image
+
+                img = np.array(Image.open(path).convert("L"), np.float32)
+                if img.shape != (resolution, resolution):
+                    img = cv2.resize(img, (resolution, resolution),
+                                     interpolation=cv2.INTER_LINEAR)
+                arr = img
+            return ("_sync", arr)
+        return self._lib.nlp_submit_jpeg(self._p, path.encode(), resolution)
 
     def collect(self, ticket) -> np.ndarray:
         if isinstance(ticket, tuple) and ticket[0] == "_sync":

