@@ -79,10 +79,13 @@ class FedChexMimicDataset:
 
     def prefetch(self, idxs):
         """Queue upcoming X-rays on the native JPEG decode pool (GIL-free
-        libjpeg + bilinear resize in C++ threads)."""
+        libjpeg + bilinear resize in C++ threads).  No-op without the
+        JPEG-enabled native build — load_item then decodes lazily via PIL."""
+        pool = self._get_pool()
+        if not pool.supports_jpeg:
+            return
         if not hasattr(self, "_tickets"):
             self._tickets = {}
-        pool = self._get_pool()
         for i in idxs:
             i = int(i)
             if i in self._tickets:
@@ -105,10 +108,15 @@ class FedChexMimicDataset:
         # trainer's host work; the synchronous fallback stays PIL+cv2 (its
         # SIMD resize beats the scalar native kernel when nothing overlaps —
         # measured 74 vs 90 ms / 64 images)
+        path = os.path.join(self.data_path, self.data_files[i])
         tickets = getattr(self, "_tickets", None)
         if tickets and i in tickets:
-            return self._get_pool().collect(tickets.pop(i))
-        path = os.path.join(self.data_path, self.data_files[i])
+            try:
+                return self._get_pool().collect(tickets.pop(i))
+            except (IOError, OSError):
+                # files libjpeg rejects (CMYK, PNG-with-.jpg, truncation)
+                # fall through to PIL, which handled them before prefetch
+                pass
         image = np.array(Image.open(path).convert("L"), dtype=np.float32)
         if image.shape[0] != self.resolution or image.shape[1] != self.resolution:
             image = cv2.resize(image, (self.resolution, self.resolution),

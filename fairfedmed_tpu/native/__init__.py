@@ -40,18 +40,28 @@ _DTYPES = {
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    base = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO,
-            "-lz", "-lpthread"]
-    # prefer the JPEG-enabled build (FedChexMimic decode path); fall back to
-    # NPZ-only when libjpeg headers are absent
-    for cmd in (base[:1] + ["-DFFM_WITH_JPEG"] + base[1:] + ["-ljpeg"], base):
+    # feature-suffixed artifacts so a cached NPZ-only build is upgraded to the
+    # JPEG build once libjpeg headers appear (a single mtime-cached .so would
+    # pin whichever feature set happened to build first)
+    so_jpeg = os.path.join(_HERE, "_npz_loader_jpeg.so")
+    so_plain = _SO
+    last_err = ""
+    for so, extra in ((so_jpeg, (["-DFFM_WITH_JPEG"], ["-ljpeg"])),
+                      (so_plain, ([], []))):
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+            return so
+        cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17"] + extra[0]
+               + [_SRC, "-o", so, "-lz", "-lpthread"] + extra[1])
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-            return _SO
-        except (subprocess.CalledProcessError, FileNotFoundError):
+            return so
+        except FileNotFoundError:
+            return None  # no compiler at all
+        except subprocess.CalledProcessError as e:
+            last_err = (e.stderr or "")[-400:]
             continue
+    if last_err:
+        print(f"[native] build failed, using numpy fallback: {last_err}")
     return None
 
 
@@ -64,7 +74,12 @@ def _load():
         if so is None:
             _lib = False
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:  # e.g. cached .so against a missing libjpeg soname
+            print(f"[native] cannot load {so} ({e}); using numpy fallback")
+            _lib = False
+            return None
         lib.nlz_open.restype = ctypes.c_void_p
         lib.nlz_open.argtypes = [ctypes.c_char_p]
         lib.nlz_close.argtypes = [ctypes.c_void_p]
@@ -210,23 +225,19 @@ class PrefetchPool:
             raise IOError(f"cannot open {path}")
         return t
 
+    @property
+    def supports_jpeg(self) -> bool:
+        return self._p is not None and hasattr(self._lib, "njd_decode_gray")
+
     def submit_jpeg(self, path: str, resolution: int):
         """Queue a grayscale-JPEG decode+resize job (FedChexMimic X-rays);
-        resolves through the same collect/discard machinery."""
-        if self._p is None or not hasattr(self._lib or (), "njd_decode_gray"):
-            from . import decode_jpeg_gray as _sync_decode
-
-            arr = _sync_decode(path, resolution)
-            if arr is None:  # no native JPEG path at all: PIL fallback
-                import cv2
-                from PIL import Image
-
-                img = np.array(Image.open(path).convert("L"), np.float32)
-                if img.shape != (resolution, resolution):
-                    img = cv2.resize(img, (resolution, resolution),
-                                     interpolation=cv2.INTER_LINEAR)
-                arr = img
-            return ("_sync", arr)
+        resolves through the same collect/discard machinery.  Callers must
+        check :attr:`supports_jpeg` first — without the native JPEG build
+        there is nothing to overlap, and the dataset's lazy PIL path is the
+        faster synchronous decode."""
+        if not self.supports_jpeg:
+            raise RuntimeError("JPEG-enabled native build unavailable "
+                               "(check PrefetchPool.supports_jpeg)")
         return self._lib.nlp_submit_jpeg(self._p, path.encode(), resolution)
 
     def collect(self, ticket) -> np.ndarray:

@@ -158,12 +158,18 @@ def test_native_jpeg_decode_matches_pil(tmp_path):
     Image.fromarray(img, mode="L").save(p, quality=92)
 
     pil = np.array(Image.open(p).convert("L"), np.float32)
-    # decode at native size: bit-exact (same libjpeg under PIL)
-    native_full = decode_jpeg_gray(p, 96) if img.shape == (96, 96) else None
     got = decode_jpeg_gray(p, 64)
     want = cv2.resize(pil, (64, 64), interpolation=cv2.INTER_LINEAR)
     assert got is not None and got.shape == (64, 64)
     np.testing.assert_allclose(got, want, atol=1.5)
+
+    # native-size decode (no resize): bit-exact — PIL uses the same libjpeg
+    sq = (rng.uniform(0, 255, (64, 64))).astype(np.uint8)
+    p2 = str(tmp_path / "sq.jpg")
+    Image.fromarray(sq, mode="L").save(p2, quality=92)
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(p2, 64),
+        np.array(Image.open(p2).convert("L"), np.float32))
 
 
 def test_jpeg_prefetch_pool_roundtrip(tmp_path):
@@ -180,15 +186,17 @@ def test_jpeg_prefetch_pool_roundtrip(tmp_path):
         paths.append(p)
 
     pool = PrefetchPool(n_threads=2)
+    if not pool.supports_jpeg:
+        pytest.skip("JPEG-enabled native build unavailable")
     tickets = [pool.submit_jpeg(p, 32) for p in paths]
     outs = [pool.collect(t) for t in tickets]
     for p, arr in zip(paths, outs):
         assert arr.shape == (32, 32) and arr.dtype == np.float32
-        if jpeg_available():
-            np.testing.assert_allclose(arr, decode_jpeg_gray(p, 32), atol=1e-5)
+        np.testing.assert_allclose(arr, decode_jpeg_gray(p, 32), atol=1e-5)
     # discard path: ticket dropped without collection must not error
     t = pool.submit_jpeg(paths[0], 32)
     pool.discard(t)
+    assert jpeg_available()
 
 
 def test_fedchexmimic_native_prefetch(tmp_path):
@@ -209,3 +217,27 @@ def test_fedchexmimic_native_prefetch(tmp_path):
         assert dl == fl and (da == fa).all()
     ds.prefetch(range(2))
     ds.clear_prefetch()  # interrupted-epoch drain must not raise
+
+
+def test_fedchexmimic_prefetch_bad_file_falls_back(tmp_path):
+    """A file libjpeg rejects (PNG saved as .jpg) must fall back to the PIL
+    path on collect instead of aborting the epoch."""
+    from PIL import Image
+
+    from tests.fixtures import make_fedchexmimic_fixture
+
+    from fairfedmed_tpu.data.datasets.fedchexmimic import FedChexMimicDataset
+
+    root = make_fedchexmimic_fixture(str(tmp_path), n_train=2, n_test=1, size=32)
+    ds = FedChexMimicDataset(root, site=1, attribute_type="race",
+                             attributes=["race", "gender", "age"],
+                             resolution=32, train=True)
+    # overwrite sample 0 with a PNG wearing a .jpg extension
+    bad = np.random.default_rng(0).integers(0, 255, (32, 32)).astype(np.uint8)
+    import os as _os
+    Image.fromarray(bad, mode="L").save(
+        _os.path.join(ds.data_path, ds.data_files[0]), format="PNG")
+    ds.prefetch(range(len(ds)))
+    img, label, attrs = ds.load_item(0)  # must not raise
+    assert img.shape == (3, 32, 32)
+    np.testing.assert_allclose(img[0], bad.astype(np.float32), atol=1e-5)
