@@ -236,3 +236,16 @@ def test_round_state_fingerprint_guards_resume(fairfedmed_root, tmp_path, monkey
     a2 = _fairlora_rn_args(fairfedmed_root, str(tmp_path / "run2"), parallel=True)
     out2 = federated_main.main(a2)  # RN run: fingerprint mismatch
     assert len(out2["acc"]) == 2  # started fresh, trained ALL rounds
+
+
+def test_large_scale_eval_gating(tmp_path):
+    """num_users >= 50 skips per-round testing until epoch 140 (reference
+    federated_main.py:654-676): with round=2 no eval runs at all, so the
+    metric lists stay empty while training still happens on the mesh path."""
+    root = str(tmp_path / "data")
+    make_fairfedmed_fixture(root, n_sites=50, n_train=2, n_test=1, size=32)
+    a = _fairlora_args(root, str(tmp_path / "out"), parallel=True)
+    a.num_users = 50
+    a.frac = 0.04  # 2 clients per round after round 0
+    out = federated_main.main(a)
+    assert out["acc"] == [] and out["auc"] == []  # gated: no eval before 140
