@@ -30,8 +30,19 @@ def _freqs(idxs_users, datanumber_client, datanumber_client_by_attr):
     freqs_by_attr = None
     if datanumber_client_by_attr is not None:
         by_attr = np.asarray(datanumber_client_by_attr, dtype=np.float64)
-        total_by_attr = by_attr[list(idxs_users)].sum(0)
-        freqs_by_attr = {r: by_attr[r] / total_by_attr for r in idxs_users}
+        sel = list(idxs_users)
+        total_by_attr = by_attr[sel].sum(0)
+        # a demographic group with ZERO members among the selected clients
+        # would divide 0/0 — the reference NaNs here (fed_utils.py:29-38,
+        # latent because full FairFedMed sites cover every group, but any
+        # frac-sampled round can trigger it and shared_half_s then spreads
+        # the NaN across all groups' S).  Substitute uniform client weights
+        # for such groups: a plain average of the clients' current rows.
+        safe_total = np.where(total_by_attr > 0, total_by_attr, 1.0)
+        uniform = 1.0 / len(sel)
+        freqs_by_attr = {
+            r: np.where(total_by_attr > 0, by_attr[r] / safe_total, uniform)
+            for r in idxs_users}
     return freqs, freqs_by_attr
 
 

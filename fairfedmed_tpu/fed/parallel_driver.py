@@ -1,7 +1,10 @@
 """Client-parallel federated rounds as product code.
 
-This is the TPU-native execution path for the CLI's FedOTPLoRA / fedavg
-branches (``--parallel_clients``), replacing the reference's time-multiplexed
+This is the TPU-native execution path for the CLI's federated branches
+(fedavg / fedprox / PromptFL / FedOTP / FedOTPLinearFT / FedOTPLoRA / local,
+``--parallel_clients``), on both backbone families — ViT and ModifiedResNet
+(whose per-client BatchNorm statistics ride the stacked trainable as
+``__bn_stats__``) — replacing the reference's time-multiplexed
 client loop (reference federated_main.py:616-726: load state_dict → train →
 deepcopy → host aggregation, once per client per round) with:
 
@@ -62,7 +65,8 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
 class ParallelRoundRunner:
     """Owns the device-resident per-client state and the compiled round.
 
-    ``trainer`` is a built GLP_OT / GLP_OT_SVLoRA trainer (ViT backbone); its
+    ``trainer`` is a built GLP_OT / GLP_OT_SVLoRA / PromptFL-family trainer
+    (ViT or ModifiedResNet backbone); its
     ``trainable``/``opt_state`` at construction seed every client.
     """
 
@@ -293,6 +297,9 @@ class ParallelRoundRunner:
         through the shared trainer — a time-multiplexing artifact we do not
         reproduce; a client unselected so far evaluates with its init stats,
         never with another client's);
+        ``mode='local_personal'`` follows the no-aggregation ``local``
+        branch — trained clients keep their own full trainables, the
+        global model is untouched;
         ``mode='fedavg_personal'`` follows the FedOTPLinearFT branch — plain
         full-state FedAvg (no EMA, no group weighting), with EVERY test user
         keeping its own local prompt rows (+ local lora_S when LOCAL_S): a

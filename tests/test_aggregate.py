@@ -88,3 +88,18 @@ def test_sample_clients_round0_and_frac():
     assert len(picked) == 2 and len(set(picked)) == 2
     assert sample_clients(5, 0.0, epoch=3) != []  # at least one client
     assert sample_clients(5, 0.4, epoch=3, idxs_users_train=[2, 4]) == [2, 4]
+
+
+def test_group_weights_zero_member_group_falls_back_to_uniform():
+    """A group with zero members among selected clients must yield uniform
+    client weights, not 0/0 NaN (reference fed_utils.py:29-38 NaNs here;
+    shared_half_s would then spread the NaN across every group's S)."""
+    from fairfedmed_tpu.fed.aggregate import _freqs
+
+    counts = [10, 6]
+    by_attr = [[4, 6, 0], [2, 4, 0]]  # group 2 empty on BOTH clients
+    freqs, freqs_by_attr = _freqs([0, 1], counts, by_attr)
+    for r in (0, 1):
+        assert np.isfinite(freqs_by_attr[r]).all()
+        assert freqs_by_attr[r][2] == 0.5  # uniform over the 2 clients
+    np.testing.assert_allclose(freqs_by_attr[0][:2], [4 / 6, 6 / 10])

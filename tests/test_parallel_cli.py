@@ -249,3 +249,10 @@ def test_large_scale_eval_gating(tmp_path):
     a.frac = 0.04  # 2 clients per round after round 0
     out = federated_main.main(a)
     assert out["acc"] == [] and out["auc"] == []  # gated: no eval before 140
+    # training really happened AND stayed finite: a frac-sampled round whose
+    # 2 clients miss a demographic group must not NaN the group-weighted
+    # lora_S (uniform-weight fallback in fed/aggregate._freqs)
+    for idx in (0, 7):
+        state = np.load(str(tmp_path / "out" / f"global_client{idx}_final.npz"))
+        for k in state.files:
+            assert np.isfinite(state[k]).all(), f"client {idx} key {k} not finite"
