@@ -493,10 +493,17 @@ def ot_distance(batch1, batch2, dist_metric: str = "cosine"):
     raise ValueError(f"Unknown cost function: {dist_metric}")
 
 
-def _sinkhorn_plan(cost, eps: float, max_iter: int, thre: float):
-    """Log-domain Sinkhorn plan (optimal_transport.py:67-101) as a
-    lax.while_loop — the reference's ``err.item()`` early exit becomes a
-    device-side predicate, no host sync."""
+def _sinkhorn_plan(cost, eps: float, max_iter: int, thre: float,
+                   differentiable: bool = False):
+    """Log-domain Sinkhorn plan (optimal_transport.py:67-101).
+
+    Default: a ``lax.while_loop`` — the reference's ``err.item()`` early exit
+    becomes a device-side predicate, no host sync.  With ``differentiable``
+    (the ``bp_to_sinkhorn`` path, which backprops through the iterations like
+    the reference's unrolled torch loop) the same updates run as a masked
+    ``lax.scan`` over ``max_iter`` steps — reverse-mode AD cannot cross a
+    while_loop; the convergence mask freezes (u, v) after the early-exit
+    point so both forms compute identical plans."""
     nx, ny = cost.shape
     log_mu = jnp.log(jnp.full((nx,), 1.0 / nx) + 1e-8)
     log_nu = jnp.log(jnp.full((ny,), 1.0 / ny) + 1e-8)
@@ -504,21 +511,38 @@ def _sinkhorn_plan(cost, eps: float, max_iter: int, thre: float):
     def m(u, v):
         return (-cost + u[:, None] + v[None, :]) / eps
 
-    def cond(state):
-        _, _, err, i = state
-        return (err >= thre) & (i < max_iter)
-
-    def body(state):
-        u, v, _, i = state
+    def step(u, v):
         u_new = eps * (log_mu - jax.scipy.special.logsumexp(m(u, v), axis=1)) + u
         v_new = eps * (log_nu
                        - jax.scipy.special.logsumexp(m(u_new, v), axis=0)) + v
         err = jnp.abs(u_new - u).sum()
-        return u_new, v_new, err, i + 1
+        return u_new, v_new, err
 
     u0 = jnp.zeros((nx,), cost.dtype)
     v0 = jnp.zeros((ny,), cost.dtype)
-    u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, jnp.inf, 0))
+
+    if differentiable:
+        def body(carry, _):
+            u, v, active = carry
+            u_new, v_new, err = step(u, v)
+            u = jnp.where(active, u_new, u)
+            v = jnp.where(active, v_new, v)
+            active = active & (err >= thre)
+            return (u, v, active), None
+
+        (u, v, _), _ = jax.lax.scan(
+            body, (u0, v0, jnp.bool_(True)), None, length=max_iter)
+    else:
+        def cond(state):
+            _, _, err, i = state
+            return (err >= thre) & (i < max_iter)
+
+        def wbody(state):
+            u, v, _, i = state
+            u_new, v_new, err = step(u, v)
+            return u_new, v_new, err, i + 1
+
+        u, v, _, _ = jax.lax.while_loop(cond, wbody, (u0, v0, jnp.inf, 0))
     return jnp.exp(m(u, v))
 
 
@@ -527,7 +551,8 @@ def sinkhorn_transport_cost(x, y, dist_metric: str = "cosine",
                             thre: float = 1e-3, bp_to_sinkhorn: bool = False):
     """W(x, y) = <pi, C> (optimal_transport.py:58-66)."""
     cost = ot_distance(x, y, dist_metric)
-    pi = _sinkhorn_plan(cost, eps, max_iter, thre)
+    pi = _sinkhorn_plan(cost, eps, max_iter, thre,
+                        differentiable=bp_to_sinkhorn)
     if not bp_to_sinkhorn:
         pi = jax.lax.stop_gradient(pi)
     return (pi * cost).sum()

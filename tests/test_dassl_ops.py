@@ -446,3 +446,45 @@ def test_transnorm_rejects_odd_train_batch():
     params, stats = ops.transnorm_init(2)
     with pytest.raises(ValueError, match="even batch"):
         ops.transnorm_apply(params, stats, jnp.ones((5, 2)), train=True)
+
+
+def test_dsbn_2d_conv_features_match_torch():
+    torch = pytest.importorskip("torch")
+    params, stats = ops.dsbn_init(3, n_domain=2)
+    x = np.random.default_rng(20).normal(size=(4, 3, 5, 5)).astype(np.float32)
+    out, stats = ops.dsbn_apply(params, stats, jnp.asarray(x), 0, train=True)
+    bn = torch.nn.BatchNorm2d(3)
+    want = bn(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["mean"][0], bn.running_mean.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(stats["mean"][1], 0.0)  # untouched domain
+
+
+def test_mixstyle_jits_with_traced_rng():
+    x = jnp.asarray(np.random.default_rng(21).normal(size=(4, 2, 6, 6)),
+                    jnp.float32)
+    f = jax.jit(lambda k, a: ops.efdmix(k, ops.mixstyle(k, a, p=1.0), p=1.0,
+                                        mix="crossdomain"))
+    out = f(KEY, x)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_sinkhorn_divergence_gradient_modes():
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    y = jnp.asarray(rng.normal(loc=1.0, size=(6, 4)), jnp.float32)
+    for bp in (False, True):
+        g = jax.grad(lambda a: ops.sinkhorn_divergence(
+            a, y, dist_metric="euclidean", bp_to_sinkhorn=bp))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0  # cost matrix always carries grad
+
+
+def test_conv2d_dynamic_is_differentiable():
+    params = ops.conv2d_dynamic_init(KEY, 8, 8, 3, squeeze=4)
+    x = jnp.asarray(np.random.default_rng(23).normal(size=(2, 8, 6, 6)),
+                    jnp.float32)
+    g = jax.grad(lambda p: ops.conv2d_dynamic_apply(p, x).sum())(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
