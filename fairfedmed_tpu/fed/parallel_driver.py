@@ -433,12 +433,12 @@ class ParallelRoundRunner:
                   f"acc {ms[j, :, 2].sum() / nv:.4f} lr {lrs[j]:.6e}")
 
         # optional per-round Orbax checkpoint of the whole federated state
-        # (FAIRFEDMED_ROUND_CKPT=<dir> is the opt-in; TRAIN.CHECKPOINT_FREQ
-        # refines the cadence, with the config default 0 meaning EVERY round —
-        # preemption recovery is the whole point of setting the variable).
-        # Only this run's latest step is kept — resume needs one, and a full
-        # stacked state per round would fill the disk on long runs.
-        ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
+        # (--resume DIR or FAIRFEDMED_ROUND_CKPT=<dir> is the opt-in;
+        # TRAIN.CHECKPOINT_FREQ refines the cadence, with the config default 0
+        # meaning EVERY round — preemption recovery is the whole point of
+        # setting it).  Only this run's latest step is kept — resume needs
+        # one, and a full stacked state per round would fill the disk.
+        ckpt_dir = self._round_ckpt_dir()
         if ckpt_dir:
             freq = max(int(self.cfg.TRAIN.CHECKPOINT_FREQ), 1)
             due = (epoch + 1 >= max_epoch or (epoch + 1) % freq == 0)
@@ -797,15 +797,26 @@ class ParallelRoundRunner:
                               ignore_errors=True)
                 self._saved_steps.discard(step)
 
-    def maybe_resume(self) -> int:
-        """If FAIRFEDMED_ROUND_CKPT holds a saved round OF THIS RUN SHAPE
-        (fingerprint: users/model/trainer/backbone), restore it and return the
-        epoch to CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG
-        state is not restored — frac-sampled rounds after a resume draw a
-        fresh subset, like restarting the reference mid-run would."""
+    def _round_ckpt_dir(self):
+        """Round-state checkpoint directory: the FAIRFEDMED_ROUND_CKPT env var
+        overrides ``--resume DIR`` (reference federated_main.py:863 parses
+        --resume but ships the resume call disabled,
+        Dassl/dassl/engine/trainer.py:435-436; here the flag is live)."""
         import os
 
-        ckpt_dir = os.environ.get("FAIRFEDMED_ROUND_CKPT")
+        return (os.environ.get("FAIRFEDMED_ROUND_CKPT")
+                or (self.cfg.RESUME or None))
+
+    def maybe_resume(self) -> int:
+        """If the round-checkpoint dir (--resume / FAIRFEDMED_ROUND_CKPT)
+        holds a saved round OF THIS RUN SHAPE (fingerprint:
+        users/model/trainer/backbone), restore it and return the epoch to
+        CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG state is
+        not restored — frac-sampled rounds after a resume draw a fresh subset,
+        like restarting the reference mid-run would."""
+        import os
+
+        ckpt_dir = self._round_ckpt_dir()
         if not ckpt_dir:
             return 0
         from ..train.checkpoint import latest_step

@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from fairfedmed_tpu.fed import (

@@ -1,5 +1,7 @@
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fairfedmed_tpu.config import CfgNode, get_cfg_default
 
 

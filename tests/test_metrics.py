@@ -1,5 +1,7 @@
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 from sklearn.metrics import roc_auc_score
 
 from fairfedmed_tpu.evaluation import metrics as M

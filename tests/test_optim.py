@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import jax.numpy as jnp
 import numpy as np
 import optax

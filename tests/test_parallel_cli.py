@@ -74,6 +74,7 @@ def test_parallel_matches_sequential_fairlora(fairfedmed_root, tmp_path):
                 err_msg=f"client {idx} key {k}")
 
 
+@pytest.mark.smoke
 def test_parallel_promptfl_fedavg_runs(tmp_path):
     root = str(tmp_path / "cifar")
     make_cifar10_fixture(root, n_train=80, n_test=40)
@@ -198,6 +199,31 @@ def test_round_state_resume_continues(fairfedmed_root, tmp_path, monkeypatch):
     assert os.listdir(ckpt) == ["step_1"]
 
     a2 = _fairlora_args(fairfedmed_root, str(tmp_path / "run2"), parallel=True)
+    a2.round = 4
+    a2.opts = a2.opts + ["TRAIN.CHECKPOINT_FREQ", "1"]
+    out2 = federated_main.main(a2)
+    assert len(out2["acc"]) == 2  # resumed at epoch 2: only rounds 2 and 3 ran
+    assert np.isfinite(out2["acc"]).all()
+    assert os.listdir(ckpt) == ["step_3"]
+
+
+def test_resume_flag_drives_round_checkpointing(fairfedmed_root, tmp_path):
+    """``--resume DIR`` alone (no env var) must checkpoint every due round and
+    pick the state back up on relaunch — preemption recovery as a CLI feature
+    (reference federated_main.py:863 parses --resume but ships resume
+    disabled, Dassl/dassl/engine/trainer.py:435-436)."""
+    import os
+
+    assert "FAIRFEDMED_ROUND_CKPT" not in os.environ
+    ckpt = str(tmp_path / "rounds")
+    a1 = _fairlora_args(fairfedmed_root, str(tmp_path / "run1"), parallel=True)
+    a1.resume = ckpt
+    a1.opts = a1.opts + ["TRAIN.CHECKPOINT_FREQ", "1"]
+    federated_main.main(a1)  # rounds 0..1, saves step_1 (step_0 pruned)
+    assert os.listdir(ckpt) == ["step_1"]
+
+    a2 = _fairlora_args(fairfedmed_root, str(tmp_path / "run2"), parallel=True)
+    a2.resume = ckpt
     a2.round = 4
     a2.opts = a2.opts + ["TRAIN.CHECKPOINT_FREQ", "1"]
     out2 = federated_main.main(a2)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fairfedmed_tpu.data.partition import (
     CIFAR100_COARSE, partition_indices, record_class_counts,
 )
