@@ -98,3 +98,39 @@ def test_compute_auc_matches_sklearn_exactly():
         # missing class in a 3-way problem -> nan propagates through the mean
         y3 = np.asarray([0, 0, 1, 1, 0])
         assert np.isnan(compute_auc(rng.random((5, 3)), y3, num_classes=3))
+
+
+# --- Dassl distance helpers (Dassl/dassl/metrics/distance.py:1-77) ---------
+
+def test_distance_matrix_vs_torch_oracle():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from fairfedmed_tpu.evaluation import compute_distance_matrix
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(7, 5)).astype(np.float32)
+    b = rng.normal(size=(4, 5)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+
+    want_euc = (ta.pow(2).sum(1, keepdim=True).expand(7, 4)
+                + tb.pow(2).sum(1, keepdim=True).expand(4, 7).t()
+                - 2 * ta @ tb.t()).numpy()
+    got_euc = np.asarray(compute_distance_matrix(a, b, "euclidean"))
+    np.testing.assert_allclose(got_euc, want_euc, atol=1e-5)
+
+    want_cos = (1 - F.normalize(ta, p=2, dim=1)
+                @ F.normalize(tb, p=2, dim=1).t()).numpy()
+    got_cos = np.asarray(compute_distance_matrix(a, b, "cosine"))
+    np.testing.assert_allclose(got_cos, want_cos, atol=1e-6)
+
+
+def test_distance_matrix_validates_inputs():
+    from fairfedmed_tpu.evaluation import compute_distance_matrix
+
+    with pytest.raises(ValueError, match="2-D"):
+        compute_distance_matrix(np.zeros((3,)), np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="feature dims"):
+        compute_distance_matrix(np.zeros((3, 2)), np.zeros((3, 4)))
+    with pytest.raises(ValueError, match="Unknown distance metric"):
+        compute_distance_matrix(np.zeros((3, 2)), np.zeros((3, 2)), "manhattan")
