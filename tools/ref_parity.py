@@ -1,0 +1,493 @@
+"""Cross-implementation e2e parity harness.
+
+Runs the ACTUAL reference implementation (``/root/reference/federated_main.py``,
+PyTorch, on CPU) and the rebuilt CLI (``/root/repo/federated_main.py``, JAX) on
+the SAME synthetic FairFedMed fixture from the SAME initial weights, and
+compares per-round accuracy/AUC trajectories plus the final per-client states.
+
+How the runs are made comparable:
+
+* **Backbone weights** — a synthetic tiny ViT CLIP checkpoint with the
+  reference's exact key naming (``make_synthetic_checkpoint``); values are
+  fp16-representable so the reference's fp16→fp32 round trip
+  (clip/model.py:609-630 then ``clip_model.float()``) is lossless.  The
+  reference loads it through its own ``clip.build_model`` (``_download``
+  monkeypatched to the local file); the rebuild loads it through
+  ``models/converter.py`` via ``find_checkpoint``.
+* **Trainable init** — the reference trainer is built first and its freshly
+  initialised trainables (prompt ctx ~ torch randn, lora_B ~ torch randn) are
+  dumped and injected into the rebuilt trainer (layouts are identical by
+  design: lora_A [in,r], lora_S [G,r], lora_B [r,out]).
+* **Data order** — per-client train-set size equals the batch size, so each
+  local epoch is ONE full batch and the (torch vs numpy) shuffle permutation
+  is irrelevant: mean-CE gradients are permutation-invariant.  Eval runs in
+  index order on both sides.
+* **Hyperparameters** — fp32, SGD with momentum 0, OT=None, LR constant
+  (stepsize beyond the horizon), λ_fairness 0 (the reference's regulariser is
+  detached anyway, GLP_OT_SVLoRA.py:924,943).
+
+The reference's absent deps (yacs, ftfy, prettytable, fairlearn, aif360,
+torchvision, skimage, gdown, timm) are backed by ``install_shims()``:
+yacs ← ``fairfedmed_tpu.config.CfgNode`` (yacs-compatible by construction),
+fairlearn/aif360 ← ``fairfedmed_tpu.evaluation.metrics`` (reimplemented by
+definition, unit-tested) — note both sides then share the SAME metric code,
+so the comparison isolates model/train/aggregation differences; everything
+else is import-surface-only (the parity configs never call into them:
+NO_TRANSFORM is on, exactly as the reference's own launch scripts
+effectively run — their ``--input_no_transform False`` parses True through
+``type=bool``, scripts/fairfedlora_fairfedmed.sh:31,71).
+
+Usage:  python tools/ref_parity.py [--rounds 3] [--out /tmp/parity]
+        (CPU-only; takes ~2-4 min on a 1-core host)
+
+Reference map: federated_main.py:604-726 (FedOTPLoRA branch),
+trainers/GLP_OT_SVLoRA.py:767-1054, utils/fed_utils.py:42-100.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import re
+import sys
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ROOT = os.environ.get("FFM_REFERENCE", "/root/reference")
+
+# ----------------------------------------------------------------- shims
+
+
+def _mod(name: str, **attrs) -> types.ModuleType:
+    """Create/register a module (linking it as an attribute of its parent)."""
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    if "." in name:
+        parent, leaf = name.rsplit(".", 1)
+        if parent not in sys.modules:
+            _mod(parent)
+        setattr(sys.modules[parent], leaf, m)
+    return m
+
+
+def install_shims() -> None:
+    """Back the reference's missing third-party imports.  Idempotent."""
+    if "yacs" in sys.modules:
+        return
+    sys.path.insert(0, REPO)
+    from fairfedmed_tpu.config import CfgNode
+    from fairfedmed_tpu.evaluation import metrics as M
+
+    _mod("yacs.config", CfgNode=CfgNode)
+    _mod("ftfy", fix_text=lambda s: s)
+
+    class PrettyTable:
+        """Minimal prettytable: the reference only builds param-count tables
+        (utils/fed_utils.py:103-114) and prints them."""
+
+        def __init__(self, field_names=None):
+            self.field_names = list(field_names or [])
+            self._rows = []
+
+        def add_row(self, row):
+            self._rows.append(list(row))
+
+        def __str__(self):
+            rows = [self.field_names] + [[str(c) for c in r] for r in self._rows]
+            widths = [max(len(str(r[i])) for r in rows) for i in range(len(rows[0]))]
+            fmt = " | ".join("{:%d}" % w for w in widths)
+            return "\n".join(fmt.format(*[str(c) for c in r]) for r in rows)
+
+    _mod("prettytable", PrettyTable=PrettyTable)
+
+    _mod("fairlearn.metrics",
+         demographic_parity_difference=M.demographic_parity_difference,
+         demographic_parity_ratio=M.demographic_parity_ratio,
+         equalized_odds_difference=M.equalized_odds_difference,
+         equalized_odds_ratio=M.equalized_odds_ratio)
+    _mod("aif360.sklearn.metrics",
+         average_odds_difference=M.average_odds_difference)
+
+    def _no_resize(*a, **k):
+        raise NotImplementedError(
+            "skimage shim: parity fixtures must already match the model "
+            "resolution (the reference resizes only on mismatch, "
+            "utils/data_utils.py:669-673)")
+
+    _mod("skimage.transform", resize=_no_resize)
+
+    def _no_egress(*a, **k):
+        raise RuntimeError("gdown shim: no network in the parity environment")
+
+    _mod("gdown", download=_no_egress, cached_download=_no_egress)
+
+    # --- torchvision: import-surface only.  The parity runs use
+    # NO_TRANSFORM (as the reference's shipped scripts effectively do), so
+    # no transform object is ever CALLED — only constructed/imported.
+    class _Never:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            raise NotImplementedError(
+                "torchvision shim object used at runtime — the parity "
+                "config must keep INPUT.NO_TRANSFORM on")
+
+    class InterpolationMode:
+        BILINEAR, BICUBIC, NEAREST = "bilinear", "bicubic", "nearest"
+        BOX, HAMMING, LANCZOS = "box", "hamming", "lanczos"
+
+    tfm_names = ["Resize", "Compose", "ToTensor", "Normalize", "CenterCrop",
+                 "RandomCrop", "ColorJitter", "RandomApply", "GaussianBlur",
+                 "RandomGrayscale", "RandomResizedCrop", "RandomHorizontalFlip",
+                 "RandomVerticalFlip", "Lambda", "Pad", "RandomRotation"]
+    func = _mod("torchvision.transforms.functional",
+                InterpolationMode=InterpolationMode,
+                **{n: _no_egress for n in
+                   ("resize", "crop", "hflip", "to_tensor", "normalize")})
+    _mod("torchvision.transforms", functional=func,
+         InterpolationMode=InterpolationMode,
+         **{n: type(n, (_Never,), {}) for n in tfm_names})
+    ds_utils = _mod("torchvision.datasets.utils",
+                    download_file_from_google_drive=_no_egress,
+                    check_integrity=lambda *a, **k: False,
+                    download_and_extract_archive=_no_egress,
+                    extract_archive=_no_egress,
+                    verify_str_arg=lambda v, *a, **k: v)
+    vision = _mod("torchvision.datasets.vision",
+                  VisionDataset=type("VisionDataset", (_Never,), {}))
+    _mod("torchvision.datasets", utils=ds_utils, vision=vision,
+         **{n: type(n, (_Never,), {}) for n in
+            ("MNIST", "CIFAR10", "CIFAR100", "SVHN", "FashionMNIST",
+             "CelebA", "ImageFolder")})
+    _mod("torchvision", transforms=sys.modules["torchvision.transforms"],
+         datasets=sys.modules["torchvision.datasets"])
+
+    import torch.nn as nn
+
+    _mod("timm.models.vision_transformer",
+         VisionTransformer=type("VisionTransformer", (nn.Module,), {}))
+
+
+# ------------------------------------------------- synthetic checkpoint
+
+
+class _FP16RNG:
+    """numpy Generator facade whose normals are fp16-representable, making the
+    reference's fp16 conversion (clip/model.py:609-630) + ``.float()`` a
+    lossless round trip, bit-identical to the rebuild's direct fp32 load."""
+
+    def __init__(self, rng):
+        self._rng = rng
+
+    def standard_normal(self, shape):
+        import numpy as np
+
+        return (self._rng.standard_normal(shape).astype(np.float16) / 8.0
+                ).astype(np.float32)
+
+
+def make_synthetic_checkpoint(path: str, seed: int = 0):
+    """Tiny ViT CLIP state_dict with the reference's exact key naming, saved
+    as a torch file both loaders accept (reference: torch.jit.load fails →
+    torch.load state_dict, trainers/GLP_OT_SVLoRA.py:29-34; rebuild:
+    models/converter.py:load_torch_state_dict)."""
+    import numpy as np
+    import torch
+
+    from fairfedmed_tpu.models.clip_model import CLIPConfig
+    from tests.test_converter import make_torch_style_sd
+
+    cfg = CLIPConfig(embed_dim=64, image_resolution=224, vision_layers=2,
+                     vision_width=64, vision_patch_size=32, context_length=77,
+                     vocab_size=49408, transformer_width=64,
+                     transformer_heads=1, transformer_layers=2)
+    sd = make_torch_style_sd(cfg, _FP16RNG(np.random.default_rng(seed)))
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+    return cfg
+
+
+# ------------------------------------------------------------ run args
+
+
+def _common_args(parser_mod, root, outdir, rounds, seed):
+    args = parser_mod.build_arg_parser().parse_args([])
+    for k, v in dict(
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=rounds, num_users=2,
+        frac=1.0, lr=0.001, root=root, output_dir=outdir, seed=seed,
+        train_batch_size=16, test_batch_size=16, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="ViT-B/16", attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        input_no_transform=True, stepsize=10000,
+        lora_rank=12, lora_alpha=2.0, lora_type="FairLoRA", shared_half_s=True,
+        lambda_fairness=0.0, config_file="", dataset_config_file="",
+        resume=None,
+    ).items():
+        setattr(args, k, v)
+    args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
+                 "SEED", str(seed), "TEST.EVALUATOR", "Classification_oph",
+                 "TRAINER.GLP_OT.PREC", "fp32",
+                 "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
+                 "DATALOADER.NUM_WORKERS", "0",
+                 "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+                 "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"]
+    return args
+
+
+_TRAINABLE_PAT = re.compile(r"prompt_learner\.ctx|lora_[ASB]")
+
+
+# ------------------------------------------------------- reference side
+
+
+def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
+                  seed: int = 1):
+    """Run /root/reference/federated_main.py:main on the fixture.  Returns
+    (per-round acc list, per-round auc list, initial trainable state dict,
+    final per-client states)."""
+    import numpy as np
+    import torch
+
+    install_shims()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    # the reference's ``datasets`` dir has no __init__.py (namespace
+    # package), so HuggingFace ``datasets`` in site-packages would win the
+    # import — pin an explicit package module at the reference path.  Then
+    # pre-seed ``datasets.WangGrant``, a module the reference does not ship
+    # (SURVEY §2.5: build.py:13 imports it and would ImportError).
+    if "datasets.WangGrant" not in sys.modules:
+        import importlib.machinery
+
+        pkg = types.ModuleType("datasets")
+        pkg.__path__ = [os.path.join(REF_ROOT, "datasets")]
+        pkg.__spec__ = importlib.machinery.ModuleSpec(
+            "datasets", None, is_package=True)
+        pkg.__spec__.submodule_search_locations = pkg.__path__
+        sys.modules["datasets"] = pkg
+        _mod("datasets.WangGrant",
+             WangGrant=type("WangGrant", (), {"dataset_dir": "wanggrant"}))
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_federated_main", os.path.join(REF_ROOT, "federated_main.py"))
+    ref_fm = importlib.util.module_from_spec(spec)
+    sys.modules["ref_federated_main"] = ref_fm
+    spec.loader.exec_module(ref_fm)
+
+    import clip.clip as ref_clip  # the REFERENCE clip package
+
+    ref_clip._download = lambda url, root=None: ckpt
+
+    # pin classname ORDER: the reference stores classnames as a python set
+    # (datasets/FairFedMed.py:48) whose iteration order is hash-dependent
+    import datasets.FairFedMed as ref_ffm
+
+    if not getattr(ref_ffm.FairFedMed, "_parity_patched", False):
+        orig_init = ref_ffm.FairFedMed.__init__
+
+        def _patched(self, cfg):
+            orig_init(self, cfg)
+            self.classnames = ["NOT Glaucoma", "Glaucoma"]
+
+        ref_ffm.FairFedMed.__init__ = _patched
+        ref_ffm.FairFedMed._parity_patched = True
+
+    # capture the freshly-built trainer's initial trainables
+    captured = {}
+    ref_build = ref_fm.build_trainer
+
+    def build_and_dump(cfg):
+        trainer = ref_build(cfg)
+        captured.update({
+            k: v.detach().cpu().numpy().copy()
+            for k, v in trainer.model.state_dict().items()
+            if _TRAINABLE_PAT.search(k)})
+        return trainer
+
+    ref_fm.build_trainer = build_and_dump
+
+    args = _common_args(ref_fm if hasattr(ref_fm, "build_arg_parser") else None,
+                        root, outdir, rounds, seed) \
+        if hasattr(ref_fm, "build_arg_parser") else None
+    if args is None:
+        # the reference builds argparse inline under __main__; reuse the
+        # rebuilt parser — the CLI schema is identical by design
+        sys.path.insert(0, REPO)
+        import federated_main as our_fm
+
+        args = _common_args(our_fm, root, outdir, rounds, seed)
+
+    saved_stdout = sys.stdout
+    try:
+        ref_fm.main(args)
+    finally:
+        # the Dassl logger tees stdout to log.txt through a buffered handle
+        # it never closes — flush it so the round-1+ metric lines land
+        tee = sys.stdout
+        if getattr(tee, "file", None) is not None:
+            tee.file.flush()
+        sys.stdout = saved_stdout
+
+    accs, aucs = _parse_log(os.path.join(outdir, "log.txt"))
+    finals = []
+    for idx in range(args.num_users):
+        p = os.path.join(outdir, f"global_client{idx}_final.pth")
+        state = torch.load(p, map_location="cpu") if os.path.exists(p) else {}
+        finals.append({k: v.detach().cpu().numpy() for k, v in state.items()
+                       if _TRAINABLE_PAT.search(k)})
+    return accs, aucs, captured, finals
+
+
+def _parse_log(path: str):
+    accs, aucs = [], []
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"Global test acc: ([0-9.eE+-]+)", line)
+            if m:
+                accs.append(float(m.group(1)))
+            m = re.match(r"Global test auc: ([0-9.eE+-]+)", line)
+            if m:
+                aucs.append(float(m.group(1)))
+    return accs, aucs
+
+
+# --------------------------------------------------------- rebuilt side
+
+
+def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
+             seed: int = 1, parallel: bool = False):
+    """Run the rebuilt CLI on the fixture, injecting the reference's initial
+    trainables after build (key names and layouts coincide by design)."""
+    import numpy as np
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import federated_main as our_fm
+    from fairfedmed_tpu import train as our_train
+
+    args = _common_args(our_fm, root, outdir, rounds, seed)
+    args.parallel_clients = parallel
+
+    our_build = our_fm.build_trainer
+
+    def build_and_inject(cfg):
+        trainer = our_build(cfg)
+        trainer.load_state_dict(dict(init_state), strict=False)
+        return trainer
+
+    our_fm.build_trainer = build_and_inject
+    try:
+        out = our_fm.main(args)
+    finally:
+        our_fm.build_trainer = our_build
+
+    finals = []
+    for idx in range(args.num_users):
+        z = np.load(os.path.join(outdir, f"global_client{idx}_final.npz"))
+        finals.append({k: z[k] for k in z.files if _TRAINABLE_PAT.search(k)})
+    return out["acc"], out["auc"], finals
+
+
+# -------------------------------------------------------------- compare
+
+
+def compare(ref, ours, atol_metric=1.0, rtol_state=2e-3, atol_state=2e-4):
+    """Returns a report dict; raises AssertionError on mismatch."""
+    import numpy as np
+
+    ref_acc, ref_auc, _, ref_finals = ref
+    our_acc, our_auc, our_finals = ours
+    report = {
+        "ref_acc": ref_acc, "our_acc": our_acc,
+        "ref_auc": ref_auc, "our_auc": our_auc,
+        "acc_max_delta": float(np.max(np.abs(np.asarray(ref_acc)
+                                             - np.asarray(our_acc)))),
+        "auc_max_delta": float(np.max(np.abs(np.asarray(ref_auc)
+                                             - np.asarray(our_auc)))),
+    }
+    assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
+        f"round counts differ: {len(ref_acc)} vs {len(our_acc)}"
+    assert report["acc_max_delta"] <= atol_metric, report
+    assert report["auc_max_delta"] <= atol_metric, report
+
+    # training must have MOVED the state — identical-but-untrained runs
+    # (e.g. a zero-lr bug on both sides) must not pass as parity
+    init = ref[2]
+    moved = max(
+        float(np.max(np.abs(np.asarray(rf[k], np.float64)
+                            - np.asarray(init[k], np.float64))))
+        for rf in ref_finals for k in rf if k in init)
+    assert moved > 1e-6, f"reference state never moved from init ({moved=})"
+    report["train_movement"] = moved
+
+    state_deltas = {}
+    for idx, (rf, of) in enumerate(zip(ref_finals, our_finals)):
+        common = sorted(set(rf) & set(of))
+        assert common, f"client {idx}: no common trainable keys"
+        missing = sorted(set(rf) - set(of))
+        assert not missing, f"client {idx}: keys absent from rebuild: {missing[:4]}"
+        for k in common:
+            a, b = np.asarray(rf[k], np.float64), np.asarray(of[k], np.float64)
+            assert a.shape == b.shape, f"client {idx} {k}: {a.shape} vs {b.shape}"
+            d = float(np.max(np.abs(a - b)))
+            scale = float(np.max(np.abs(a))) or 1.0
+            state_deltas[f"c{idx}:{k}"] = d
+            assert d <= atol_state + rtol_state * scale, \
+                f"client {idx} {k}: max|Δ|={d:.3e} (scale {scale:.3e})"
+    report["state_max_delta"] = max(state_deltas.values())
+    report["n_state_keys"] = len(state_deltas)
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/ref_parity")
+    ap.add_argument("--n-train", type=int, default=16)
+    ap.add_argument("--n-test", type=int, default=16)
+    ap.add_argument("--atol-metric", type=float, default=1.0,
+                    help="max |Δ| on per-round acc (percent) / auc (percent)")
+    opts = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from tests.fixtures import make_fairfedmed_fixture
+
+    os.makedirs(opts.out, exist_ok=True)
+    root = os.path.join(opts.out, "data")
+    if not os.path.isdir(os.path.join(root, "fairfedmed")):
+        make_fairfedmed_fixture(root, n_sites=2, n_train=opts.n_train,
+                                n_test=opts.n_test, size=224, oct_depth=4,
+                                oct_hw=8)
+    ckpt = os.path.join(root, "ViT-B-16.pt")
+    if not os.path.exists(ckpt):
+        make_synthetic_checkpoint(ckpt)
+
+    print("== running reference (torch, CPU) ==", flush=True)
+    ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds)
+    print(f"reference: acc={ref[0]} auc={ref[1]}", flush=True)
+    print("== running rebuild (jax, CPU) ==", flush=True)
+    ours = run_ours(root, os.path.join(opts.out, "ours"), opts.rounds, ref[2])
+    print(f"rebuild:   acc={ours[0]} auc={ours[1]}", flush=True)
+
+    report = compare(ref, ours, atol_metric=opts.atol_metric)
+    with open(os.path.join(opts.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print("PARITY OK")
+    return report
+
+
+if __name__ == "__main__":
+    main()
