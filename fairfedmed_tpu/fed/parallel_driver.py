@@ -123,14 +123,7 @@ class ParallelRoundRunner:
             sel_o.hyperparams["learning_rate"] = lrs
             return sel_t, sel_o
 
-        @jax.jit
-        def scatter_fn(stacked_o, trained_o, idx):
-            return jax.tree_util.tree_map(
-                lambda full, sub: full.at[idx].set(sub.astype(full.dtype)),
-                stacked_o, trained_o)
-
         self._gather_fn = gather_fn
-        self._scatter_fn = scatter_fn
         self._attr_col = None
         if not getattr(trainer, "disable_attr", True):
             self._attr_col = list(cfg.DATASET.ATTRIBUTES).index(
@@ -217,9 +210,15 @@ class ParallelRoundRunner:
         return imgs, labels, attrs
 
     def _round_batches_device(self, idxs_users: Sequence[int]):
-        """Per-round batch streams as DEVICE gathers over the cached decoded
-        sets — the only host work is drawing the same ``np.random.permutation``
-        the sequential loader would (RNG parity with ClientLoader._indices)."""
+        """Per-round batch streams as ONE jitted device program gathering from
+        the cached decoded sets — the only host work is drawing the same
+        ``np.random.permutation`` the sequential loader would (RNG parity with
+        ClientLoader._indices) and shipping the tiny index matrices.
+
+        Fusing the per-client/per-key gathers into a single dispatch matters
+        on a remote-TPU attachment: eager indexing cost one tunnel round-trip
+        PER (client, key) — ~9 dispatches ≈ 0.1-0.35 s/round, the largest
+        fixed cost in the round-2 profile."""
         caches = [self._ensure_device_cache(i) for i in idxs_users]
         if any(c is None for c in caches):
             return None, None
@@ -236,14 +235,19 @@ class ParallelRoundRunner:
             idx_mats.append(sel.reshape(steps, bs))
             n_steps.append(steps)
         S = max(n_steps)
-        out = {k: [] for k in caches[0]}
-        for c, mat, steps in zip(caches, idx_mats, n_steps):
-            if steps < S:  # pad steps (masked by n_steps in the scan)
-                mat = np.concatenate([mat, np.repeat(mat[:1], S - steps, axis=0)])
-            mi = jnp.asarray(mat, jnp.int32)
-            for k in out:
-                out[k].append(c[k][mi])
-        return {k: jnp.stack(v) for k, v in out.items()}, \
+        mats = np.stack([
+            np.concatenate([m_, np.repeat(m_[:1], S - m_.shape[0], axis=0)])
+            if m_.shape[0] < S else m_  # pad steps (masked by n_steps)
+            for m_ in idx_mats]).astype(np.int32)  # [m, S, B]
+
+        if "assemble" not in self._agg_fns:
+            @jax.jit  # retraces per (m, cache-shape) signature automatically
+            def assemble(caches, mats):
+                return {k: jnp.stack([c[k][mats[j]]
+                                      for j, c in enumerate(caches)])
+                        for k in caches[0]}
+            self._agg_fns["assemble"] = assemble
+        return self._agg_fns["assemble"](tuple(caches), jnp.asarray(mats)), \
             np.asarray(n_steps, np.int32)
 
     def _round_batches(self, idxs_users: Sequence[int]):
@@ -396,17 +400,18 @@ class ParallelRoundRunner:
             np.asarray([i in self.args.idxs_users_train and i in set(test_users)
                         for i in idxs_users], bool))
 
+        # aggregation + personalization + optimizer-state scatter (trained
+        # optimizer states persist per client across rounds) as ONE dispatch
         agg = self._agg_fn(mode, group_w is not None)
         if group_w is None:  # keep the jit signature stable per cache entry
-            self.global_t, self.personal_t = agg(
-                trained_t, self.global_t, self.personal_t, weights,
-                beta_decay, idx_arr, update_idx, keep_mask)
+            self.global_t, self.personal_t, self.stacked_o = agg(
+                trained_t, self.global_t, self.personal_t, self.stacked_o,
+                trained_o, weights, beta_decay, idx_arr, update_idx, keep_mask)
         else:
-            self.global_t, self.personal_t = agg(
-                trained_t, self.global_t, self.personal_t, weights, group_w,
-                beta_decay, idx_arr, update_idx, keep_mask)
-        # trained optimizer states persist per client across rounds
-        self.stacked_o = self._scatter_fn(self.stacked_o, trained_o, idx_arr)
+            self.global_t, self.personal_t, self.stacked_o = agg(
+                trained_t, self.global_t, self.personal_t, self.stacked_o,
+                trained_o, weights, group_w, beta_decay, idx_arr, update_idx,
+                keep_mask)
 
         if timing:
             jax.block_until_ready(self.personal_t)
@@ -577,11 +582,24 @@ class ParallelRoundRunner:
             new_personal = _map2_with_path(personalize, personal_t, new_global)
             return new_global, new_personal
 
+        def fused(trained_t, global_t, personal_t, stacked_o, trained_o,
+                  weights, group_w, beta_decay, idx_arr, update_idx,
+                  keep_mask):
+            # aggregation + personalization + optimizer-state scatter as ONE
+            # program: each extra dispatch costs a tunnel round-trip
+            new_global, new_personal = agg_impl(
+                trained_t, global_t, personal_t, weights, group_w, beta_decay,
+                idx_arr, update_idx, keep_mask)
+            new_o = jax.tree_util.tree_map(
+                lambda full, sub: full.at[idx_arr].set(sub.astype(full.dtype)),
+                stacked_o, trained_o)
+            return new_global, new_personal, new_o
+
         if has_group_w:
-            fn = jax.jit(agg_impl)
+            fn = jax.jit(fused)
         else:
-            fn = jax.jit(lambda t, g, p, w, bd, ia, ui, km: agg_impl(
-                t, g, p, w, None, bd, ia, ui, km))
+            fn = jax.jit(lambda t, g, p, so, to, w, bd, ia, ui, km: fused(
+                t, g, p, so, to, w, None, bd, ia, ui, km))
         self._agg_fns[key] = fn
         return fn
 
