@@ -1,53 +1,67 @@
-"""Benchmark: FairLoRA CLIP ViT-B/16 federated train-step throughput on TPU.
+"""Benchmark: FairLoRA CLIP ViT-B/16 federated throughput on TPU.
 
 Canonical run shape (scripts/fairfedlora_fairfedmed.sh): batch 32, 224×224,
 FairLoRA rank 12 / α 2 on every resblock MLP, 2 prompts × 4 ctx tokens,
-OT=None, fp16→bf16.  Measures end-to-end forward+backward+update steps of the
-flagship model and prints ONE JSON line.
+OT=None, fp16→bf16.  Prints ONE JSON line.
 
-``vs_baseline`` compares against REF_GPU_IMGS_PER_SEC — the PyTorch reference's
-throughput for this exact model/batch on its single-GPU setup.  The repo
-publishes no timing numbers (SURVEY §6), so the constant is DERIVED, not
-measured: DeiT (Touvron et al., Table 1) reports 292 img/s for an optimized
-ViT-B/16 fp16 *training* loop on one V100 at batch 256; the reference runs the
-same backbone eagerly at batch 32 with a per-step host sync, LoRA adapters on
-every MLP, and a second text-tower forward — a 0.55-0.65× factor on published
-eager-vs-optimized ViT numbers, giving ≈160-190 img/s.  We use the midpoint
-175.  ``baseline_basis`` in the output records this derivation.
+Three measured sections, each run in its OWN subprocess with one retry —
+the remote-TPU ("axon") tunnel fails transiently (FAILED_PRECONDITION /
+stalls), and a wedged in-process backend cannot be recovered, only replaced
+(this killed the entire round-2 artifact: BENCH_r02.json rc=1):
 
-The default run emits ONE JSON line with the step-level throughput as the
-headline metric plus ``mfu`` (model FLOPs / chip peak) and — unless
-``BENCH_SKIP_ROUND=1`` — ``round_imgs_per_sec``: one full federated round
-through the CLI machinery on the client-parallel mesh path (synthetic
-FairFedMed fixture, 2 clients, NPZ loading + train + eval + aggregation), the
-BASELINE.md north-star unit.  ``BENCH_MODE=round`` emits the round metric as
-the headline instead.
+* ``step``  — train-step throughput of the flagship model (headline metric)
+  plus ``mfu`` (analytic model FLOPs / chip peak).
+* ``round`` — one full federated round through the CLI machinery on the
+  client-parallel mesh path (synthetic FairFedMed fixture: NPZ loading +
+  train + eval + aggregation), the BASELINE.md north-star unit, at the
+  2-client/80-img-per-client fixture.
+* ``round_prod`` — the same round bench at a production-scale fixture
+  (2048 train + 64 test imgs/client, the "thousands of images per site"
+  regime of the real FairFedMed sites), where the fixed per-round cost
+  amortizes; emitted as ``round_prod_imgs_per_sec``.
+
+``vs_baseline`` compares against REF_GPU_IMGS_PER_SEC — the PyTorch
+reference's throughput for this exact model/batch on its single-GPU setup.
+The repo publishes no timing numbers (SURVEY §6), so the constant is DERIVED,
+not measured: DeiT (Touvron et al., Table 1) reports 292 img/s for an
+optimized ViT-B/16 fp16 *training* loop on one V100 at batch 256; the
+reference runs the same backbone eagerly at batch 32 with a per-step host
+sync, LoRA adapters on every MLP, and a second text-tower forward — a
+0.55-0.65× factor on published eager-vs-optimized ViT numbers, giving
+≈160-190 img/s.  We use the midpoint 175.  Round-level baselines are derived
+PER FIXTURE by :func:`ref_round_baseline` from the same 175 img/s plus the
+reference round loop's fixed costs (federated_main.py:616-726).
+``baseline_basis`` fields record the derivations; the self-contained honest
+number is ``mfu``.
+
+Env knobs: ``BENCH_MODE=step|round|round_prod|round_oct|round_rn50`` runs one
+section in-process (used by the subprocess fan-out; also handy standalone).
+``BENCH_SKIP_ROUND=1`` skips both round benches, ``BENCH_SKIP_PROD=1`` only
+the production-scale one.  ``BENCH_OCT=1`` / ``BENCH_RN50=1`` additionally
+capture the OCT-3D volume round and the RN50-backbone round.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-import optax
 
 REF_GPU_IMGS_PER_SEC = 175.0
 BASELINE_BASIS = ("derived: DeiT Table-1 292 img/s (ViT-B/16 fp16 train, V100, "
                   "optimized) x 0.6 eager/batch-32/per-step-sync factor")
-# Reference ROUND-level throughput (the BASELINE.md north-star unit) for the
-# bench's 2-client/160-image round, derived from the same 175 img/s step rate
-# plus the reference round's fixed costs (federated_main.py:616-726): train
-# 128 img / 175 = 0.73 s; eval 32 img at ~3x the train rate (forward-only,
-# eager) = 0.06 s; one full state_dict deepcopy + load_state_dict per client
-# (~300 MB fp16 each) ~= 0.3 s; host-loop aggregation over ~200 tensors
-# ~= 0.1 s  ->  ~1.2 s / 160 img.
-REF_GPU_ROUND_IMGS_PER_SEC = 133.0
-ROUND_BASELINE_BASIS = ("derived: 175 img/s step rate + per-round deepcopy/"
-                        "load_state_dict + serial eval costs of the reference "
-                        "round loop (federated_main.py:616-726)")
+# Reference round-loop fixed costs (federated_main.py:616-726): one full
+# state_dict deepcopy + load_state_dict per client (~300 MB fp16) plus the
+# host-loop aggregation over ~200 tensors ≈ 0.2 s per client; eval runs
+# forward-only eager ≈ 3x the train rate.
+REF_ROUND_FIXED_S_PER_CLIENT = 0.2
+REF_EVAL_SPEEDUP = 3.0
+ROUND_BASELINE_BASIS = ("derived per fixture: 175 img/s step rate, eval at 3x "
+                        "(forward-only eager), + 0.2 s/client deepcopy/"
+                        "load_state_dict/host-aggregation fixed cost of the "
+                        "reference round loop (federated_main.py:616-726)")
 BATCH = 32
 WARMUP = 3
 ITERS = 50  # ~1.8s measured window — tunnel-noise resistant
@@ -57,7 +71,19 @@ _PEAK_FLOPS = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
                ("v4", 275e12), ("v6", 918e12))
 
 
+def ref_round_baseline(users: int, n_train: int, n_test: int) -> float:
+    """Derived reference ROUND rate (img/s) at a given fixture: train at 175,
+    eval at 3x, plus the per-client fixed cost.  At the historical
+    2-client/64+16 fixture this reproduces the round-2 constant (133)."""
+    train_s = users * n_train / REF_GPU_IMGS_PER_SEC
+    eval_s = users * n_test / (REF_EVAL_SPEEDUP * REF_GPU_IMGS_PER_SEC)
+    fixed_s = REF_ROUND_FIXED_S_PER_CLIENT * users
+    return users * (n_train + n_test) / (train_s + eval_s + fixed_s)
+
+
 def _chip_peak_flops() -> float:
+    import jax
+
     kind = jax.devices()[0].device_kind.lower()
     for sub, peak in _PEAK_FLOPS:
         if sub in kind:
@@ -88,6 +114,10 @@ def vit_train_flops_per_image(cfg, n_text_seqs: int = 4, remat: bool = True) -> 
 
 
 def main(emit=True):
+    import jax
+    import numpy as np
+    import optax
+
     from __graft_entry__ import _build_flagship
     from fairfedmed_tpu.train.clip_common import cross_entropy
 
@@ -95,6 +125,8 @@ def main(emit=True):
         backbone="ViT-B/16", rank=12, num_groups=3)
     tx = optax.sgd(1e-3, momentum=0.9, nesterov=False)
     opt_state = tx.init(trainable)
+
+    import jax.numpy as jnp
 
     # frozen rides as an ARGUMENT — closing over the 150M-param pytree would
     # embed it as MLIR constants and pull it all to host at trace time
@@ -141,13 +173,15 @@ def main(emit=True):
     return record
 
 
-def main_round(emit=True):
-    """One federated FairLoRA round end-to-end (loading+train+eval+agg),
-    through the client-parallel mesh path (--parallel_clients)."""
-    import os
+def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
+               modality="slo_fundus", backbone="ViT-B/16", tag="round"):
+    """Federated FairLoRA rounds end-to-end (loading+train+eval+agg) through
+    the client-parallel mesh path (--parallel_clients); steady-state rate is
+    the median of the post-warmup per-round times."""
     import shutil
-    import sys
     import tempfile
+
+    import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.fixtures import make_fairfedmed_fixture
@@ -158,25 +192,27 @@ def main_round(emit=True):
     # it would resume the bench fixture from (or prune) a real run's state
     saved_ckpt_env = os.environ.pop("FAIRFEDMED_ROUND_CKPT", None)
     try:
-        n_train, n_test, users = 64, 16, 2
-        n_rounds = 6  # rounds 0-1 pay compiles; steady = median of the rest
+        # tiny OCT payloads unless the OCT round itself is being measured —
+        # a production-scale fixture would otherwise cost ~0.5 MB x N files
+        oct_kw = {} if modality.startswith("oct") else dict(oct_depth=4, oct_hw=8)
         make_fairfedmed_fixture(work, n_sites=users, n_train=n_train,
-                                n_test=n_test, size=224)
+                                n_test=n_test, size=224, **oct_kw)
         parser = federated_main.build_arg_parser()
         args = parser.parse_args([])
         args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
                      "SEED", "1", "TEST.EVALUATOR", "Classification_oph"]
+        rank, alpha = (32, 8.0) if backbone.startswith("RN") else (12, 2.0)
         for k, v in dict(
             model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=n_rounds,
             num_users=users,
             frac=1.0, root=work, output_dir=os.path.join(work, "out"),
             train_batch_size=32, test_batch_size=32, n_ctx=4, num_prompt=2,
-            avg_prompt=1, OT="None", backbone="ViT-B/16", attribute_type="race",
+            avg_prompt=1, OT="None", backbone=backbone, attribute_type="race",
             attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
-            modality_type="slo_fundus", unfreeze_image_encoder=True,
-            lora_rank=12, lora_alpha=2.0, lora_type="FairLoRA",
+            modality_type=modality, unfreeze_image_encoder=True,
+            lora_rank=rank, lora_alpha=alpha, lora_type="FairLoRA",
             parallel_clients=True,
-            config_file="", dataset_config_file="",
+            config_file="", dataset_config_file="", resume=None,
         ).items():
             setattr(args, k, v)
         # the CLI chats on stdout; the bench contract is ONE JSON line
@@ -194,11 +230,17 @@ def main_round(emit=True):
                   for i in range(2, len(out["time"]))]  # rounds 2..n-1
         steady = statistics.median(deltas)
         imgs = users * (n_train + n_test)  # train + eval images per round
+        baseline = ref_round_baseline(users, n_train, n_test)
         record = {
-            "metric": "fairlora_vitb16_fed_round_imgs_per_sec_per_chip",
+            "metric": f"fairlora_{backbone.replace('/', '').replace('-', '').lower()}"
+                      f"_fed_{tag}_imgs_per_sec_per_chip",
             "value": round(imgs / steady, 2),
             "unit": "images/sec/chip (full round: load+train+eval+agg)",
-            "vs_baseline": round((imgs / steady) / REF_GPU_ROUND_IMGS_PER_SEC, 3),
+            "fixture": {"users": users, "train_per_client": n_train,
+                        "test_per_client": n_test, "modality": modality,
+                        "backbone": backbone},
+            "baseline_round_imgs_per_sec": round(baseline, 1),
+            "vs_baseline": round((imgs / steady) / baseline, 3),
             "baseline_basis": ROUND_BASELINE_BASIS,
         }
         if emit:
@@ -210,21 +252,99 @@ def main_round(emit=True):
         shutil.rmtree(work, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    import os
+_MODES = {
+    "step": lambda: main(emit=True),
+    "round": lambda: main_round(emit=True),
+    "round_prod": lambda: main_round(emit=True, n_train=2048, n_test=64,
+                                     n_rounds=5, tag="round_prod"),
+    "round_oct": lambda: main_round(emit=True, n_train=16, n_test=8,
+                                    n_rounds=5, modality="oct_bscans_3d",
+                                    tag="round_oct"),
+    "round_rn50": lambda: main_round(emit=True, n_rounds=5, backbone="RN50",
+                                     tag="round_rn50"),
+}
 
-    if os.environ.get("BENCH_MODE") == "round":
-        main_round()
-    else:
-        record = main(emit=False)
-        if os.environ.get("BENCH_SKIP_ROUND") != "1":
+
+def _run_section(mode: str, timeout_s: int = 1500):
+    """Run one measured section in a fresh subprocess; retry ONCE on failure.
+
+    A transient tunnel error (FAILED_PRECONDITION, stall) can wedge the
+    in-process TPU backend beyond recovery — a fresh process is the only
+    reliable retry (CLAUDE.md: "the tunnel stalls intermittently — retry once
+    before debugging").  Returns (record | None, attempts, last_error).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, BENCH_MODE=mode)
+    last_err = None
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py")],
+                cwd=here, env=env, capture_output=True, text=True,
+                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout_s}s"
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                round_rec = main_round(emit=False)
-                record["round_imgs_per_sec"] = round_rec["value"]
-                record["round_vs_step"] = round(
-                    round_rec["value"] / record["value"], 4)
-                record["round_vs_baseline_round"] = round(
-                    round_rec["value"] / REF_GPU_ROUND_IMGS_PER_SEC, 3)
-            except Exception as e:  # round bench must never blank the artifact
-                record["round_error"] = f"{type(e).__name__}: {e}"
-        print(json.dumps(record))
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            return rec, attempt, None
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+        last_err = f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
+    return None, 2, last_err
+
+
+def orchestrate():
+    """Run all sections as retried subprocesses, merge into ONE JSON line."""
+    record, attempts, err = _run_section("step")
+    if record is None:
+        # even a doubly-failed step bench must leave an artifact, not rc=1
+        record = {"metric": "fairlora_vitb16_train_imgs_per_sec_per_chip",
+                  "value": None, "unit": "images/sec/chip", "error": err}
+    if attempts > 1:
+        record["step_retries"] = attempts - 1
+
+    sections = []
+    if os.environ.get("BENCH_SKIP_ROUND") != "1":
+        sections.append(("round", "round"))
+        if os.environ.get("BENCH_SKIP_PROD") != "1":
+            sections.append(("round_prod", "round_prod"))
+        if os.environ.get("BENCH_OCT") == "1":
+            sections.append(("round_oct", "round_oct"))
+        if os.environ.get("BENCH_RN50") == "1":
+            sections.append(("round_rn50", "round_rn50"))
+    for mode, prefix in sections:
+        rec, attempts, err = _run_section(mode)
+        if rec is None:
+            record[f"{prefix}_error"] = err
+            continue
+        record[f"{prefix}_imgs_per_sec"] = rec["value"]
+        record[f"{prefix}_vs_baseline"] = rec["vs_baseline"]
+        record[f"{prefix}_baseline_imgs_per_sec"] = rec["baseline_round_imgs_per_sec"]
+        record[f"{prefix}_fixture"] = rec["fixture"]
+        if attempts > 1:
+            record[f"{prefix}_retries"] = attempts - 1
+    if record.get("round_imgs_per_sec") and record.get("value"):
+        record["round_vs_step"] = round(
+            record["round_imgs_per_sec"] / record["value"], 4)
+    # the north-star comparison (BASELINE.md round-level unit), taken at the
+    # production-scale fixture when captured, else the small fixture — each
+    # per-fixture ratio stays in its own *_vs_baseline field above
+    for key in ("round_prod_vs_baseline", "round_vs_baseline"):
+        if key in record:
+            record["round_vs_baseline_round"] = record[key]
+            break
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode:
+        if mode not in _MODES:
+            sys.exit(f"unknown BENCH_MODE={mode!r}; one of {sorted(_MODES)}")
+        _MODES[mode]()
+    else:
+        orchestrate()

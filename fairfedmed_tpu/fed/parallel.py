@@ -226,7 +226,23 @@ def make_client_train_round(mesh: Mesh, local_step: Callable, batch_spec=None):
                                       (jnp.arange(n_total), bstream))
             return t, o, ms
 
-        return jax.vmap(train_one)(trainable, opt_state, batches, n_steps)
+        # Clients co-located on one shard run SEQUENTIALLY (scan), not
+        # vmapped: vmapping k clients widens every step to k×batch, and the
+        # remat-bound ViT step LOSES throughput with batch (measured on
+        # v5e: 972 img/s at batch 32 vs 813 at 64 — saved-activation HBM
+        # traffic dominates).  Per-client math is identical either way; on a
+        # real pod slice the client axis shards over ICI and k is 1.
+        k = jax.tree_util.tree_leaves(n_steps)[0].shape[0]
+        if k == 1:
+            return jax.vmap(train_one)(trainable, opt_state, batches, n_steps)
+
+        def client_body(_, xs):
+            t, o, bstream, nsteps = xs
+            return None, train_one(t, o, bstream, nsteps)
+
+        _, (t, o, ms) = jax.lax.scan(
+            client_body, None, (trainable, opt_state, batches, n_steps))
+        return t, o, ms
 
     c_spec = P(CLIENT_AXIS)
     b_spec = batch_spec if batch_spec is not None else P(CLIENT_AXIS, None, DATA_AXIS)

@@ -323,11 +323,14 @@ class ParallelRoundRunner:
         trainer = self.trainer
         t0 = tick()
 
-        # --- per-client LR: the reference steps ONE scheduler once per
-        # client-local-epoch, so client j of this round trains at
-        # lr(_lr_steps + j) — reproduced exactly
-        lrs = [trainer.lr_sched.lr(trainer._lr_steps + j) for j in range(m)]
-        trainer._lr_steps += m
+        # --- per-client LR: the reference steps ONE shared scheduler once
+        # per client-local-epoch PER REGISTERED MODEL NAME (Dassl
+        # trainer.py:253-258; two names when the image encoder is unfrozen),
+        # so client j of this round trains at lr(_lr_steps + j*mult)
+        mult = getattr(trainer, "lr_step_multiplier", 1)
+        lrs = [trainer.lr_sched.lr(trainer._lr_steps + j * mult)
+               for j in range(m)]
+        trainer._lr_steps += m * mult
 
         idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
         sel_t, sel_o = self._gather_fn(
@@ -628,13 +631,20 @@ class ParallelRoundRunner:
         return cache
 
     def _eval_program(self, with_attr: bool):
+        """ONE jitted program for the whole eval dispatch: client-row gather
+        from the stacked personal trees, per-client batch gathers from the
+        device caches, and the scanned/vmapped logits — eager per-client
+        indexing would cost a tunnel round-trip per op."""
         key = ("eval", with_attr)
         if key in self._agg_fns:
             return self._agg_fns[key]
         infer = self.trainer.make_parallel_infer()
 
         @jax.jit
-        def run(stacked_t, frozen, imgs, attrs):
+        def run(personal_t, idx_arr, frozen, img_caches, attr_caches, mats):
+            stacked_t = jax.tree_util.tree_map(lambda x: x[idx_arr], personal_t)
+            imgs = jnp.stack([c[mats[j]] for j, c in enumerate(img_caches)])
+
             def per_client(t, imgs_c, attrs_c):
                 def body(_, xs):
                     img, at = xs
@@ -642,10 +652,14 @@ class ParallelRoundRunner:
                 _, logits = jax.lax.scan(body, None, (imgs_c, attrs_c))
                 return logits
 
+            attrs = jnp.stack([c[mats[j]] for j, c in enumerate(attr_caches)])
             return jax.vmap(per_client)(stacked_t, imgs, attrs)
 
         @jax.jit
-        def run_no_attr(stacked_t, frozen, imgs):
+        def run_no_attr(personal_t, idx_arr, frozen, img_caches, mats):
+            stacked_t = jax.tree_util.tree_map(lambda x: x[idx_arr], personal_t)
+            imgs = jnp.stack([c[mats[j]] for j, c in enumerate(img_caches)])
+
             def per_client(t, imgs_c):
                 def body(_, img):
                     return None, infer(t, frozen, img, None)
@@ -708,25 +722,25 @@ class ParallelRoundRunner:
             mats.append(np.stack(rows))
             n_valids.append(valid)
         S = max(m.shape[0] for m in mats)
-        imgs, attr_batches = [], []
-        for c, mat in zip(caches, mats):
+        padded = []
+        for mat in mats:
             if mat.shape[0] < S:
                 mat = np.concatenate(
                     [mat, np.repeat(mat[:1], S - mat.shape[0], axis=0)])
-            mi = jnp.asarray(mat, jnp.int32)
-            imgs.append(c["img"][mi])
-            if c["attr_dev"] is not None:
-                attr_batches.append(c["attr_dev"][mi])
-        imgs = jnp.stack(imgs)  # [m, S, bs, ...]
+            padded.append(mat)
+        mats_dev = jnp.asarray(np.stack(padded), jnp.int32)  # [m, S, bs]
         idx_arr = jnp.asarray(np.asarray(idxs_users, np.int32))
-        stacked_t = self._gather_rows(self.personal_t, idx_arr)
 
-        with_attr = bool(attr_batches)
+        with_attr = all(has_attr)
         if with_attr:
             logits = self._eval_program(True)(
-                stacked_t, trainer.frozen, imgs, jnp.stack(attr_batches))
+                self.personal_t, idx_arr, trainer.frozen,
+                tuple(c["img"] for c in caches),
+                tuple(c["attr_dev"] for c in caches), mats_dev)
         else:
-            logits = self._eval_program(False)(stacked_t, trainer.frozen, imgs)
+            logits = self._eval_program(False)(
+                self.personal_t, idx_arr, trainer.frozen,
+                tuple(c["img"] for c in caches), mats_dev)
         if timing:
             print(f"[timing] eval assemble+dispatch: {tick() - t0:.3f}s")
         return {"idxs": list(idxs_users), "logits": logits, "caches": caches,

@@ -303,8 +303,11 @@ class TrainerX(SimpleTrainer):
         return self.lr_sched.lr(self._lr_steps)
 
     def update_lr(self):
-        """Advance the per-epoch LR step counter (trainer.py:253-258)."""
-        self._lr_steps += 1
+        """Advance the per-epoch LR step counter (trainer.py:253-258) — once
+        per registered model name: the reference loops sched.step() over the
+        registry, so GLP trainers with an unfrozen image encoder advance the
+        schedule by TWO per local epoch (see glp_ot.py opt_steps_per_batch)."""
+        self._lr_steps += getattr(self, "lr_step_multiplier", 1)
 
     def forward_backward(self, batch):
         raise NotImplementedError

@@ -60,6 +60,16 @@ GROUP_TABLES = {
 }
 
 
+def _apply_opt(tx, grads, opt_state, params, n: int):
+    """Apply ``tx`` ``n`` times with the SAME grads (params/momentum/WD state
+    threading through) — torch semantics of calling optimizer.step() per
+    registered model name on one backward (Dassl trainer.py:333-342)."""
+    for _ in range(n):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    return params, opt_state
+
+
 def _redictify_like(template, rebuilt):
     """Map an unflatten_paths dict (string int keys) back onto the template's
     list/dict structure."""
@@ -211,6 +221,23 @@ class GLPOTBase(TrainerX):
         self.tx = build_optimizer(cfg.OPTIM)
         self.opt_state = self.tx.init(self.trainable)
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
+        # Reference quirk, reproduced for metric parity: with
+        # UNFREEZE_IMAGE_ENCODER the reference registers prompt_learner AND
+        # image_encoder with the SAME optimizer+scheduler
+        # (GLP_OT_SVLoRA.py:868-881, GLP_OT.py:456-460), and TrainerBase
+        # loops step()/sched.step() once PER REGISTERED NAME
+        # (Dassl trainer.py:333-342, :253-258) — so every batch applies the
+        # optimizer update TWICE (momentum/weight-decay recomputed against
+        # the once-updated params) and every local epoch advances the LR
+        # schedule by two.  Verified empirically via tools/ref_parity.py:
+        # with a single step, our lora_A update is exactly half the
+        # reference's.  TRAINER.GLP_OT_LORA.SINGLE_OPT_STEP opts out of the
+        # quirk (documented deviation, like DIFFERENTIABLE_FAIRNESS).
+        single = bool(getattr(cfg.TRAINER.GLP_OT_LORA, "SINGLE_OPT_STEP", False))
+        self.opt_steps_per_batch = (
+            1 if single or not cfg.TRAINER.GLP_OT_LORA.UNFREEZE_IMAGE_ENCODER
+            else 2)
+        self.lr_step_multiplier = self.opt_steps_per_batch
         # start at the schedule's epoch-0 LR (warmup): the injected optimizer
         # LR otherwise stays at base OPTIM.LR for the whole first epoch
         self.opt_state = set_learning_rate(self.opt_state, self.lr_sched.lr(0))
@@ -382,6 +409,7 @@ class GLPOTBase(TrainerX):
                 "RN parallel rounds do not shard the within-client batch")
         loss_fn = self._build_loss_fn()
         tx = self.tx
+        n_opt = self.opt_steps_per_batch
         has_stats = self.backbone_type == "resnet"
 
         def local_step(trainable, opt_state, frozen, batch):
@@ -402,8 +430,8 @@ class GLPOTBase(TrainerX):
                 loss = jax.lax.pmean(loss, data_axis)
                 acc = jax.lax.pmean(acc, data_axis)
                 valid = jax.lax.pmin(valid.astype(jnp.int32), data_axis).astype(jnp.bool_)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_trainable = optax.apply_updates(params, updates)
+            new_trainable, new_opt_state = _apply_opt(
+                tx, grads, opt_state, params, n_opt)
             keep = lambda new, old: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(valid, a, b), new, old)
             trainable = keep(new_trainable, params)
@@ -469,8 +497,8 @@ class GLPOTBase(TrainerX):
         def train_step(trainable, opt_state, stats, frozen, image, label, attr, ctx_global, mu):
             (loss, (logits, valid, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, frozen, stats, image, label, attr, ctx_global, mu)
-            updates, new_opt_state = self.tx.update(grads, opt_state, trainable)
-            new_trainable = optax.apply_updates(trainable, updates)
+            new_trainable, new_opt_state = _apply_opt(
+                self.tx, grads, opt_state, trainable, self.opt_steps_per_batch)
             # an invalid (NaN) OT plan skips the WHOLE optimizer step — the
             # reference returns None from forward and never steps
             # (GLP_OT_SVLoRA.py:738-743); selecting only the grads would

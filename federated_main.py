@@ -60,6 +60,12 @@ def extend_cfg(cfg, args):
     # accidentally detached; default False preserves reference behavior
     cfg.TRAINER.GLP_OT_LORA.DIFFERENTIABLE_FAIRNESS = bool(
         getattr(args, "differentiable_fairness", False))
+    # single optimizer/scheduler step per batch — the reference steps BOTH
+    # registered model names through one shared optimizer when the image
+    # encoder is unfrozen (Dassl trainer.py:333-342), i.e. a double step;
+    # default False reproduces that quirk for metric parity
+    cfg.TRAINER.GLP_OT_LORA.SINGLE_OPT_STEP = bool(
+        getattr(args, "single_opt_step", False))
 
     cfg.DATASET.SUBSAMPLE_CLASSES = "all"
     cfg.DATASET.USERS = args.num_users
@@ -631,6 +637,11 @@ def build_arg_parser():
     parser.add_argument("--differentiable_fairness", action="store_true",
                         help="let the fairness regulariser contribute "
                              "gradients (the reference detaches it)")
+    parser.add_argument("--single_opt_step", action="store_true",
+                        help="apply ONE optimizer/scheduler step per batch "
+                             "(the reference double-steps both through its "
+                             "model registry when the image encoder is "
+                             "unfrozen, Dassl trainer.py:333-342)")
     # the reference declares these type=list, which turns a CLI value into a
     # character list ("0,1" -> ['0',',','1']) — unusable from the shell.  We
     # keep the flag names/defaults but parse comma-separated ints so the

@@ -135,7 +135,10 @@ def test_round_state_checkpoint_roundtrip(fairfedmed_root, tmp_path, monkeypatch
     assert step == 1  # 2 rounds, 0-indexed epochs, freq 1 -> last saved is 1
     tree = load_pytree(f"{ckpt_dir}/step_{step}")
     assert int(tree["epoch"]) == 1
-    assert int(tree["lr_steps"]) == 4  # 2 clients x 2 rounds
+    # 2 clients x 2 rounds x 2 sched-steps-per-client-epoch (the reference's
+    # dual model registration steps the shared scheduler once per name,
+    # Dassl trainer.py:253-258 — see glp_ot.py lr_step_multiplier)
+    assert int(tree["lr_steps"]) == 8
     # every stacked leaf carries the num_users leading axis
     for leaf in jax.tree_util.tree_leaves(tree["personal_t"]):
         assert leaf.shape[0] == 2

@@ -35,8 +35,10 @@ def test_reference_trajectories_match(tmp_path):
     assert "PARITY OK" in proc.stdout, tail
     with open(tmp_path / "parity" / "report.json") as f:
         report = json.load(f)
-    assert report["acc_max_delta"] <= 1.0
-    assert report["auc_max_delta"] <= 1.0
+    assert report["acc_max_delta"] <= 0.01
+    assert report["auc_max_delta"] <= 0.01
+    assert report["parallel_acc_max_delta"] <= 0.01
+    assert report["parallel_auc_max_delta"] <= 0.01
     assert report["train_movement"] > 1e-6
     # 2 clients x (ctx + 2 layers x 2 mlps x lora_{A,S,B}) = 26 compared keys
     assert report["n_state_keys"] >= 26

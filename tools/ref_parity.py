@@ -396,7 +396,7 @@ def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
 # -------------------------------------------------------------- compare
 
 
-def compare(ref, ours, atol_metric=1.0, rtol_state=2e-3, atol_state=2e-4):
+def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6):
     """Returns a report dict; raises AssertionError on mismatch."""
     import numpy as np
 
@@ -450,7 +450,7 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/ref_parity")
     ap.add_argument("--n-train", type=int, default=16)
     ap.add_argument("--n-test", type=int, default=16)
-    ap.add_argument("--atol-metric", type=float, default=1.0,
+    ap.add_argument("--atol-metric", type=float, default=0.01,
                     help="max |Δ| on per-round acc (percent) / auc (percent)")
     opts = ap.parse_args(argv)
 
@@ -477,11 +477,19 @@ def main(argv=None):
     print("== running reference (torch, CPU) ==", flush=True)
     ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds)
     print(f"reference: acc={ref[0]} auc={ref[1]}", flush=True)
-    print("== running rebuild (jax, CPU) ==", flush=True)
+    print("== running rebuild (jax, CPU, sequential) ==", flush=True)
     ours = run_ours(root, os.path.join(opts.out, "ours"), opts.rounds, ref[2])
     print(f"rebuild:   acc={ours[0]} auc={ours[1]}", flush=True)
+    print("== running rebuild (jax, CPU, --parallel_clients mesh) ==", flush=True)
+    ours_par = run_ours(root, os.path.join(opts.out, "ours_par"), opts.rounds,
+                        ref[2], parallel=True)
+    print(f"mesh:      acc={ours_par[0]} auc={ours_par[1]}", flush=True)
 
     report = compare(ref, ours, atol_metric=opts.atol_metric)
+    par_report = compare(ref, ours_par, atol_metric=opts.atol_metric)
+    report["parallel_acc_max_delta"] = par_report["acc_max_delta"]
+    report["parallel_auc_max_delta"] = par_report["auc_max_delta"]
+    report["parallel_state_max_delta"] = par_report["state_max_delta"]
     with open(os.path.join(opts.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
