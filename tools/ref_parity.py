@@ -211,18 +211,72 @@ def make_synthetic_checkpoint(path: str, seed: int = 0):
     return cfg
 
 
+def make_synthetic_rn_checkpoint(path: str, seed: int = 0):
+    """Tiny ModifiedResNet CLIP checkpoint.  Built by instantiating the
+    REFERENCE's own CLIP class (clip/model.py, imported by file path) so the
+    key inventory satisfies its strict load, then overwriting every tensor
+    with seeded fp16-representable values (running_var kept positive)."""
+    import importlib.machinery
+
+    import numpy as np
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_model_gen", os.path.join(REF_ROOT, "clip", "model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    design = {"trainer": "Golden", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model = mod.CLIP(
+        embed_dim=64, image_resolution=224, vision_layers=(1, 1, 1, 1),
+        vision_width=16, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=64, transformer_heads=1,
+        transformer_layers=2, design_details=design)
+    rng = _FP16RNG(np.random.default_rng(seed))
+    sd = {}
+    for k, v in model.state_dict().items():
+        arr = rng.standard_normal(tuple(v.shape))
+        if k.endswith("running_var"):
+            arr = np.abs(arr) + 0.5
+        elif k.endswith("num_batches_tracked"):
+            arr = np.zeros(v.shape, np.int64)
+        elif k == "logit_scale":
+            arr = np.float32(2.6593)
+        sd[k] = torch.from_numpy(np.asarray(arr).reshape(v.shape)).to(v.dtype)
+    model.load_state_dict(sd, strict=True)
+
+    # CALIBRATE the BatchNorm running statistics: with random stats the eval
+    # forward divides each stage by an over-large sqrt(var), and the input
+    # signal decays ~10x per stage — by layer4 the logits are constant to
+    # 1e-7 and AUC is tie-noise.  Two train-mode batches with momentum=1
+    # adopt realistic per-stage statistics instead.
+    for m in model.visual.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    model.visual.train()
+    with torch.no_grad():
+        gen = torch.Generator().manual_seed(seed)
+        for _ in range(2):
+            model.visual(torch.randn(8, 3, 224, 224, generator=gen))
+    model.visual.eval()
+    torch.save(model.state_dict(), path)
+
+
 # ------------------------------------------------------------ run args
 
 
-def _common_args(parser_mod, root, outdir, rounds, seed):
+def _common_args(parser_mod, root, outdir, rounds, seed,
+                 backbone="ViT-B/16", modality="slo_fundus", dim3d=2,
+                 lr=0.001):
     args = parser_mod.build_arg_parser().parse_args([])
     for k, v in dict(
         model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=rounds, num_users=2,
-        frac=1.0, lr=0.001, root=root, output_dir=outdir, seed=seed,
+        frac=1.0, lr=lr, root=root, output_dir=outdir, seed=seed,
         train_batch_size=16, test_batch_size=16, n_ctx=4, num_prompt=2,
-        avg_prompt=1, OT="None", backbone="ViT-B/16", attribute_type="race",
+        avg_prompt=1, OT="None", backbone=backbone, attribute_type="race",
         attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
-        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        modality_type=modality, dim_per_3d_slice=dim3d,
+        unfreeze_image_encoder=True,
         input_no_transform=True, stepsize=10000,
         lora_rank=12, lora_alpha=2.0, lora_type="FairLoRA", shared_half_s=True,
         lambda_fairness=0.0, config_file="", dataset_config_file="",
@@ -239,14 +293,35 @@ def _common_args(parser_mod, root, outdir, rounds, seed):
     return args
 
 
-_TRAINABLE_PAT = re.compile(r"prompt_learner\.ctx|lora_[ASB]")
+# trainable/federated leaves compared across implementations: prompt ctx,
+# LoRA factors, the 3D slice projector, and (RN backbones) the trainable
+# BatchNorm affine + federated running statistics
+_TRAINABLE_PAT = re.compile(
+    r"prompt_learner\.ctx|lora_[ASB]|proj_per_3d_slice"
+    r"|image_encoder\.(stem\.)?bn\d\.|\.bn\d\.|downsample\.1\.|downsample_bn")
+
+
+def _is_compared_key(key: str) -> bool:
+    """Trainable/federated leaves compared across implementations;
+    num_batches_tracked is torch BN bookkeeping with no counterpart here."""
+    return bool(_TRAINABLE_PAT.search(key)) and not key.endswith(
+        "num_batches_tracked")
+
+
+def _ref_key_to_ours(key: str) -> str:
+    """Reference RN state_dict naming → the rebuild's naming.  The stem BNs
+    live at the visual top level in the reference (clip/model.py:172-180,
+    exported as ``image_encoder.bn1.*``) but under ``stem.`` here, and the
+    downsample Sequential's BN index 1 is named ``downsample_bn``."""
+    key = re.sub(r"^image_encoder\.(bn\d)\.", r"image_encoder.stem.\1.", key)
+    return key.replace(".downsample.1.", ".downsample_bn.")
 
 
 # ------------------------------------------------------- reference side
 
 
 def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
-                  seed: int = 1):
+                  seed: int = 1, **cfg_kw):
     """Run /root/reference/federated_main.py:main on the fixture.  Returns
     (per-round acc list, per-round auc list, initial trainable state dict,
     final per-client states)."""
@@ -297,30 +372,29 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
         ref_ffm.FairFedMed.__init__ = _patched
         ref_ffm.FairFedMed._parity_patched = True
 
-    # capture the freshly-built trainer's initial trainables
+    # capture the freshly-built trainer's initial trainables (and keep a
+    # handle on the trainer for the post-run prob sweep)
     captured = {}
+    holder = {}
     ref_build = ref_fm.build_trainer
 
     def build_and_dump(cfg):
         trainer = ref_build(cfg)
+        holder["trainer"] = trainer
         captured.update({
-            k: v.detach().cpu().numpy().copy()
+            _ref_key_to_ours(k): v.detach().cpu().numpy().copy()
             for k, v in trainer.model.state_dict().items()
-            if _TRAINABLE_PAT.search(k)})
+            if _is_compared_key(k)})
         return trainer
 
     ref_fm.build_trainer = build_and_dump
 
-    args = _common_args(ref_fm if hasattr(ref_fm, "build_arg_parser") else None,
-                        root, outdir, rounds, seed) \
-        if hasattr(ref_fm, "build_arg_parser") else None
-    if args is None:
-        # the reference builds argparse inline under __main__; reuse the
-        # rebuilt parser — the CLI schema is identical by design
-        sys.path.insert(0, REPO)
-        import federated_main as our_fm
+    # the reference builds argparse inline under __main__; reuse the
+    # rebuilt parser — the CLI schema is identical by design
+    sys.path.insert(0, REPO)
+    import federated_main as our_fm
 
-        args = _common_args(our_fm, root, outdir, rounds, seed)
+    args = _common_args(our_fm, root, outdir, rounds, seed, **cfg_kw)
 
     saved_stdout = sys.stdout
     try:
@@ -334,13 +408,27 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
         sys.stdout = saved_stdout
 
     accs, aucs = _parse_log(os.path.join(outdir, "log.txt"))
-    finals = []
+    finals, probs = [], []
+    attr_col = args.attributes.index(args.attribute_type)
+    trainer = holder["trainer"]
     for idx in range(args.num_users):
         p = os.path.join(outdir, f"global_client{idx}_final.pth")
         state = torch.load(p, map_location="cpu") if os.path.exists(p) else {}
-        finals.append({k: v.detach().cpu().numpy() for k, v in state.items()
-                       if _TRAINABLE_PAT.search(k)})
-    return accs, aucs, captured, finals
+        finals.append({_ref_key_to_ours(k): v.detach().cpu().numpy()
+                       for k, v in state.items() if _is_compared_key(k)})
+        # final-state per-sample eval probabilities: the tie-robust
+        # equivalence (AUC flips on sub-1e-6 prob ties; probabilities don't)
+        trainer.model.load_state_dict(state, strict=False)
+        trainer.set_model_mode("eval")
+        pr, lab = [], []
+        with torch.no_grad():
+            for b in trainer.fed_test_loader_x_dict[idx]:
+                t = b["attrs"][:, attr_col]
+                out = trainer.model(b["img"], t)
+                pr.append(torch.softmax(out.float(), -1)[:, 1].numpy())
+                lab.append(b["label"].numpy())
+        probs.append((np.concatenate(pr), np.concatenate(lab)))
+    return accs, aucs, captured, finals, probs
 
 
 def _parse_log(path: str):
@@ -360,23 +448,25 @@ def _parse_log(path: str):
 
 
 def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
-             seed: int = 1, parallel: bool = False):
+             seed: int = 1, parallel: bool = False, **cfg_kw):
     """Run the rebuilt CLI on the fixture, injecting the reference's initial
-    trainables after build (key names and layouts coincide by design)."""
+    trainables after build (key names and layouts coincide by design; RN
+    BatchNorm names pre-translated by the caller via _ref_key_to_ours)."""
     import numpy as np
 
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
     import federated_main as our_fm
-    from fairfedmed_tpu import train as our_train
 
-    args = _common_args(our_fm, root, outdir, rounds, seed)
+    args = _common_args(our_fm, root, outdir, rounds, seed, **cfg_kw)
     args.parallel_clients = parallel
 
     our_build = our_fm.build_trainer
+    holder = {}
 
     def build_and_inject(cfg):
         trainer = our_build(cfg)
+        holder["trainer"] = trainer
         trainer.load_state_dict(dict(init_state), strict=False)
         return trainer
 
@@ -386,22 +476,46 @@ def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
     finally:
         our_fm.build_trainer = our_build
 
-    finals = []
+    import jax.numpy as jnp
+
+    trainer = holder["trainer"]
+    finals, probs = [], []
     for idx in range(args.num_users):
         z = np.load(os.path.join(outdir, f"global_client{idx}_final.npz"))
-        finals.append({k: z[k] for k in z.files if _TRAINABLE_PAT.search(k)})
-    return out["acc"], out["auc"], finals
+        state = {k: z[k] for k in z.files}
+        finals.append({k: v for k, v in state.items()
+                       if _is_compared_key(k)})
+        trainer.load_state_dict(state, strict=False)
+        pr, lab = [], []
+        for b in trainer.fed_test_loader_x_dict[idx]:
+            im, labels, _attrs, tgt = trainer.parse_batch_test(b)
+            lg = np.asarray(trainer.model_inference(im, tgt), np.float32)
+            n_valid = int(b.get("n_valid", len(np.asarray(labels))))
+            sm = np.exp(lg - lg.max(-1, keepdims=True))
+            sm = sm / sm.sum(-1, keepdims=True)
+            pr.append(sm[:n_valid, 1])
+            lab.append(np.asarray(labels)[:n_valid])
+        probs.append((np.concatenate(pr), np.concatenate(lab)))
+    return out["acc"], out["auc"], finals, probs
 
 
 # -------------------------------------------------------------- compare
 
 
-def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6):
-    """Returns a report dict; raises AssertionError on mismatch."""
+def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
+            atol_prob=5e-5):
+    """Returns a report dict; raises AssertionError on mismatch.
+
+    The PRIMARY equivalence is per-sample: final-state eval probabilities
+    must agree to ``atol_prob`` on every test sample.  Metric-level AUC can
+    legitimately differ beyond fp noise when two samples' probabilities tie
+    within implementation noise (a rank flip moves AUC by 1/(n₊·n₋)); such a
+    gap is reported as ``auc_delta_is_tie_noise`` instead of failing,
+    PROVIDED the per-sample probabilities agree."""
     import numpy as np
 
-    ref_acc, ref_auc, _, ref_finals = ref
-    our_acc, our_auc, our_finals = ours
+    ref_acc, ref_auc, _, ref_finals, ref_probs = ref
+    our_acc, our_auc, our_finals, our_probs = ours
     report = {
         "ref_acc": ref_acc, "our_acc": our_acc,
         "ref_auc": ref_auc, "our_auc": our_auc,
@@ -412,8 +526,19 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6):
     }
     assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
         f"round counts differ: {len(ref_acc)} vs {len(our_acc)}"
+
+    prob_deltas = []
+    for idx, ((rpr, rlab), (opr, olab)) in enumerate(zip(ref_probs, our_probs)):
+        assert np.array_equal(rlab, olab), \
+            f"client {idx}: eval label sequence differs"
+        assert rpr.shape == opr.shape, f"client {idx}: prob count differs"
+        prob_deltas.append(float(np.abs(rpr - opr).max()))
+    report["eval_prob_max_delta"] = max(prob_deltas)
+    assert report["eval_prob_max_delta"] <= atol_prob, report
+
     assert report["acc_max_delta"] <= atol_metric, report
-    assert report["auc_max_delta"] <= atol_metric, report
+    if report["auc_max_delta"] > atol_metric:
+        report["auc_delta_is_tie_noise"] = True  # probs agree (asserted above)
 
     # training must have MOVED the state — identical-but-untrained runs
     # (e.g. a zero-lr bug on both sides) must not pass as parity
@@ -450,6 +575,16 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/ref_parity")
     ap.add_argument("--n-train", type=int, default=16)
     ap.add_argument("--n-test", type=int, default=16)
+    ap.add_argument("--backbone", choices=["ViT-B/16", "RN50"],
+                    default="ViT-B/16",
+                    help="RN50 exercises the ModifiedResNet path: FairLoRA "
+                         "on 1x1 convs, attnpool LoRA, trainable+federated "
+                         "BatchNorm (affine AND running stats)")
+    ap.add_argument("--modality", choices=["slo_fundus", "oct_bscans"],
+                    default="slo_fundus",
+                    help="oct_bscans exercises the 3D path: [::4] subsample, "
+                         "proj_per_3d_slice, per-slice lora_S repeat, "
+                         "slice-mean logits")
     ap.add_argument("--atol-metric", type=float, default=0.01,
                     help="max |Δ| on per-round acc (percent) / auc (percent)")
     opts = ap.parse_args(argv)
@@ -467,22 +602,35 @@ def main(argv=None):
     os.makedirs(opts.out, exist_ok=True)
     root = os.path.join(opts.out, "data")
     if not os.path.isdir(os.path.join(root, "fairfedmed")):
+        # oct_bscans: depth 16 subsamples [::4] to 4 channels = 2 slices at
+        # DIM_PER_3D_SLICE=2; H=W=224 so neither side resizes (the reference
+        # would call skimage on mismatch, shimmed to raise)
+        oct_kw = (dict(oct_depth=16, oct_hw=224)
+                  if opts.modality == "oct_bscans" else
+                  dict(oct_depth=4, oct_hw=8))
         make_fairfedmed_fixture(root, n_sites=2, n_train=opts.n_train,
-                                n_test=opts.n_test, size=224, oct_depth=4,
-                                oct_hw=8)
-    ckpt = os.path.join(root, "ViT-B-16.pt")
-    if not os.path.exists(ckpt):
-        make_synthetic_checkpoint(ckpt)
+                                n_test=opts.n_test, size=224, **oct_kw)
+    if opts.backbone == "RN50":
+        ckpt = os.path.join(root, "RN50.pt")
+        if not os.path.exists(ckpt):
+            make_synthetic_rn_checkpoint(ckpt)
+    else:
+        ckpt = os.path.join(root, "ViT-B-16.pt")
+        if not os.path.exists(ckpt):
+            make_synthetic_checkpoint(ckpt)
+    cfg_kw = dict(backbone=opts.backbone, modality=opts.modality)
 
     print("== running reference (torch, CPU) ==", flush=True)
-    ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds)
+    ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds,
+                        **cfg_kw)
     print(f"reference: acc={ref[0]} auc={ref[1]}", flush=True)
     print("== running rebuild (jax, CPU, sequential) ==", flush=True)
-    ours = run_ours(root, os.path.join(opts.out, "ours"), opts.rounds, ref[2])
+    ours = run_ours(root, os.path.join(opts.out, "ours"), opts.rounds, ref[2],
+                    **cfg_kw)
     print(f"rebuild:   acc={ours[0]} auc={ours[1]}", flush=True)
     print("== running rebuild (jax, CPU, --parallel_clients mesh) ==", flush=True)
     ours_par = run_ours(root, os.path.join(opts.out, "ours_par"), opts.rounds,
-                        ref[2], parallel=True)
+                        ref[2], parallel=True, **cfg_kw)
     print(f"mesh:      acc={ours_par[0]} auc={ours_par[1]}", flush=True)
 
     report = compare(ref, ours, atol_metric=opts.atol_metric)
