@@ -74,3 +74,11 @@ def test_reference_trajectories_match_rn50(tmp_path):
     # conv lora (4 layers x 3 convs x A/S/B) + attnpool lora (4 proj x A/B)
     # + BN affine and running stats across stem/blocks/downsample
     _run_parity(tmp_path, ["--backbone", "RN50"], min_state_keys=200)
+
+
+def test_reference_trajectories_match_cot(tmp_path):
+    # entropic COT plan in the loop (lax.while_loop fixed point vs the
+    # reference's host-sync early exit — SURVEY hard-part #1); sharp eps so
+    # the plan actually shapes the logits
+    report = _run_parity(tmp_path, ["--OT", "COT"], min_state_keys=26)
+    assert report["auc_max_delta"] <= 0.01

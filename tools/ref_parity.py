@@ -267,13 +267,22 @@ def make_synthetic_rn_checkpoint(path: str, seed: int = 0):
 
 def _common_args(parser_mod, root, outdir, rounds, seed,
                  backbone="ViT-B/16", modality="slo_fundus", dim3d=2,
-                 lr=0.001):
+                 lr=0.001, ot="None"):
     args = parser_mod.build_arg_parser().parse_args([])
+    if ot != "None":
+        # sharpen the transport plan: at eps=0.1 a random-init similarity
+        # matrix is flat and the OT plan collapses to uniform — OT would be
+        # "validated" without ever shaping the logits.  eps below ~0.03
+        # underflows K=exp(-(1-sim)/eps) to zero at random init: the plan
+        # goes NaN and the reference CRASHES (its forward returns None,
+        # GLP_OT_SVLoRA.py:738-743, which forward_backward never guards).
+        args.eps = 0.05
+        args.top_percent = 0.8
     for k, v in dict(
         model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=rounds, num_users=2,
         frac=1.0, lr=lr, root=root, output_dir=outdir, seed=seed,
         train_batch_size=16, test_batch_size=16, n_ctx=4, num_prompt=2,
-        avg_prompt=1, OT="None", backbone=backbone, attribute_type="race",
+        avg_prompt=1, OT=ot, backbone=backbone, attribute_type="race",
         attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
         modality_type=modality, dim_per_3d_slice=dim3d,
         unfreeze_image_encoder=True,
@@ -585,6 +594,12 @@ def main(argv=None):
                     help="oct_bscans exercises the 3D path: [::4] subsample, "
                          "proj_per_3d_slice, per-slice lora_S repeat, "
                          "slice-mean logits")
+    ap.add_argument("--OT", choices=["None", "Sinkhorn", "COT"],
+                    default="None", dest="ot",
+                    help="optimal-transport plan between patch tokens and "
+                         "prompts (reference GLP_OT_SVLoRA.py:615-675; here "
+                         "a lax.while_loop fixed point — iteration-count "
+                         "parity is SURVEY hard-part #1)")
     ap.add_argument("--atol-metric", type=float, default=0.01,
                     help="max |Δ| on per-round acc (percent) / auc (percent)")
     opts = ap.parse_args(argv)
@@ -618,7 +633,7 @@ def main(argv=None):
         ckpt = os.path.join(root, "ViT-B-16.pt")
         if not os.path.exists(ckpt):
             make_synthetic_checkpoint(ckpt)
-    cfg_kw = dict(backbone=opts.backbone, modality=opts.modality)
+    cfg_kw = dict(backbone=opts.backbone, modality=opts.modality, ot=opts.ot)
 
     print("== running reference (torch, CPU) ==", flush=True)
     ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds,
