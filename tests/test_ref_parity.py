@@ -76,6 +76,14 @@ def test_reference_trajectories_match_rn50(tmp_path):
     _run_parity(tmp_path, ["--backbone", "RN50"], min_state_keys=200)
 
 
+def test_reference_trajectories_match_fedchexmimic(tmp_path):
+    # CheXpert+MIMIC JPEG pipeline: grayscale decode (native libjpeg here vs
+    # PIL there), race/gender/age attribute tables, per-site CSV layout
+    report = _run_parity(tmp_path, ["--dataset", "FedChexMimic"],
+                         min_state_keys=26)
+    assert report["auc_max_delta"] <= 0.01
+
+
 def test_reference_trajectories_match_cot(tmp_path):
     # entropic COT plan in the loop (lax.while_loop fixed point vs the
     # reference's host-sync early exit — SURVEY hard-part #1); sharp eps so

@@ -267,7 +267,7 @@ def make_synthetic_rn_checkpoint(path: str, seed: int = 0):
 
 def _common_args(parser_mod, root, outdir, rounds, seed,
                  backbone="ViT-B/16", modality="slo_fundus", dim3d=2,
-                 lr=0.001, ot="None"):
+                 lr=0.001, ot="None", dataset="FairFedMed"):
     args = parser_mod.build_arg_parser().parse_args([])
     if ot != "None":
         # sharpen the transport plan: at eps=0.1 a random-init similarity
@@ -292,7 +292,9 @@ def _common_args(parser_mod, root, outdir, rounds, seed,
         resume=None,
     ).items():
         setattr(args, k, v)
-    args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
+    if dataset == "FedChexMimic":
+        args.attributes = ["race", "gender", "age"]
+    args.opts = ["DATASET.NAME", dataset, "INPUT.SIZE", "(224, 224)",
                  "SEED", str(seed), "TEST.EVALUATOR", "Classification_oph",
                  "TRAINER.GLP_OT.PREC", "fp32",
                  "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
@@ -367,19 +369,27 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
 
     ref_clip._download = lambda url, root=None: ckpt
 
-    # pin classname ORDER: the reference stores classnames as a python set
-    # (datasets/FairFedMed.py:48) whose iteration order is hash-dependent
+    # pin classname ORDER: the reference stores classnames as python sets
+    # (datasets/FairFedMed.py:48, FedChexMimic.py:48) whose iteration order
+    # is hash-dependent
     import datasets.FairFedMed as ref_ffm
+    import datasets.FedChexMimic as ref_fcm
 
-    if not getattr(ref_ffm.FairFedMed, "_parity_patched", False):
-        orig_init = ref_ffm.FairFedMed.__init__
+    for mod, cls_name, names in (
+            (ref_ffm, "FairFedMed", ["NOT Glaucoma", "Glaucoma"]),
+            (ref_fcm, "FedChexMimic",
+             ["NOT Pleural Effusion", "Pleural Effusion"])):
+        cls = getattr(mod, cls_name)
+        if getattr(cls, "_parity_patched", False):
+            continue
+        orig_init = cls.__init__
 
-        def _patched(self, cfg):
-            orig_init(self, cfg)
-            self.classnames = ["NOT Glaucoma", "Glaucoma"]
+        def _patched(self, cfg, _orig=orig_init, _names=names):
+            _orig(self, cfg)
+            self.classnames = list(_names)
 
-        ref_ffm.FairFedMed.__init__ = _patched
-        ref_ffm.FairFedMed._parity_patched = True
+        cls.__init__ = _patched
+        cls._parity_patched = True
 
     # capture the freshly-built trainer's initial trainables (and keep a
     # handle on the trainer for the post-run prob sweep)
@@ -594,6 +604,11 @@ def main(argv=None):
                     help="oct_bscans exercises the 3D path: [::4] subsample, "
                          "proj_per_3d_slice, per-slice lora_S repeat, "
                          "slice-mean logits")
+    ap.add_argument("--dataset", choices=["FairFedMed", "FedChexMimic"],
+                    default="FairFedMed",
+                    help="FedChexMimic exercises the CheXpert+MIMIC JPEG "
+                         "pipeline (grayscale decode, race/gender/age "
+                         "attribute tables)")
     ap.add_argument("--OT", choices=["None", "Sinkhorn", "COT"],
                     default="None", dest="ot",
                     help="optimal-transport plan between patch tokens and "
@@ -612,11 +627,15 @@ def main(argv=None):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from tests.fixtures import make_fairfedmed_fixture
+    from tests.fixtures import make_fairfedmed_fixture, make_fedchexmimic_fixture
 
     os.makedirs(opts.out, exist_ok=True)
     root = os.path.join(opts.out, "data")
-    if not os.path.isdir(os.path.join(root, "fairfedmed")):
+    if opts.dataset == "FedChexMimic":
+        if not os.path.isdir(os.path.join(root, "fedchexmimic")):
+            make_fedchexmimic_fixture(root, n_train=opts.n_train,
+                                      n_test=opts.n_test, size=224)
+    elif not os.path.isdir(os.path.join(root, "fairfedmed")):
         # oct_bscans: depth 16 subsamples [::4] to 4 channels = 2 slices at
         # DIM_PER_3D_SLICE=2; H=W=224 so neither side resizes (the reference
         # would call skimage on mismatch, shimmed to raise)
@@ -633,7 +652,8 @@ def main(argv=None):
         ckpt = os.path.join(root, "ViT-B-16.pt")
         if not os.path.exists(ckpt):
             make_synthetic_checkpoint(ckpt)
-    cfg_kw = dict(backbone=opts.backbone, modality=opts.modality, ot=opts.ot)
+    cfg_kw = dict(backbone=opts.backbone, modality=opts.modality, ot=opts.ot,
+                  dataset=opts.dataset)
 
     print("== running reference (torch, CPU) ==", flush=True)
     ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds,
