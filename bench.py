@@ -243,6 +243,10 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
             "vs_baseline": round((imgs / steady) / baseline, 3),
             "baseline_basis": ROUND_BASELINE_BASIS,
         }
+        if backbone != "ViT-B/16" or modality != "slo_fundus":
+            record["baseline_note"] = (
+                "reference rate derived for ViT-B/16 on 2D images; treat "
+                "vs_baseline as indicative only for this backbone/modality")
         if emit:
             print(json.dumps(record))
         return record
@@ -258,7 +262,7 @@ _MODES = {
     "round_prod": lambda: main_round(emit=True, n_train=2048, n_test=64,
                                      n_rounds=5, tag="round_prod"),
     "round_oct": lambda: main_round(emit=True, n_train=16, n_test=8,
-                                    n_rounds=5, modality="oct_bscans_3d",
+                                    n_rounds=5, modality="oct_bscans",
                                     tag="round_oct"),
     "round_rn50": lambda: main_round(emit=True, n_rounds=5, backbone="RN50",
                                      tag="round_rn50"),
