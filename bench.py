@@ -195,8 +195,23 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
         # tiny OCT payloads unless the OCT round itself is being measured —
         # a production-scale fixture would otherwise cost ~0.5 MB x N files
         oct_kw = {} if modality.startswith("oct") else dict(oct_depth=4, oct_hw=8)
-        make_fairfedmed_fixture(work, n_sites=users, n_train=n_train,
-                                n_test=n_test, size=224, **oct_kw)
+        # fixtures are seeded-deterministic: CACHE them across bench sections
+        # and retries (the production fixture is 4k NPZ files, minutes to
+        # regenerate on the 1-core host).  Built in a tmp dir and atomically
+        # renamed so a concurrent bench never sees a half-written cache.
+        cache = os.path.join(
+            tempfile.gettempdir(), "ffm_bench_fixtures",
+            f"{users}_{n_train}_{n_test}_{modality.split('_')[0]}")
+        if not os.path.isdir(os.path.join(cache, "fairfedmed")):
+            build = tempfile.mkdtemp(prefix="ffmfix_")
+            make_fairfedmed_fixture(build, n_sites=users, n_train=n_train,
+                                    n_test=n_test, size=224, **oct_kw)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            try:
+                os.rename(build, cache)
+            except OSError:  # lost the race: another process built it
+                shutil.rmtree(build, ignore_errors=True)
+        data_root = cache
         parser = federated_main.build_arg_parser()
         args = parser.parse_args([])
         args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
@@ -205,7 +220,7 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
         for k, v in dict(
             model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=n_rounds,
             num_users=users,
-            frac=1.0, root=work, output_dir=os.path.join(work, "out"),
+            frac=1.0, root=data_root, output_dir=os.path.join(work, "out"),
             train_batch_size=32, test_batch_size=32, n_ctx=4, num_prompt=2,
             avg_prompt=1, OT="None", backbone=backbone, attribute_type="race",
             attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
