@@ -38,7 +38,9 @@ effectively run — their ``--input_no_transform False`` parses True through
 ``type=bool``, scripts/fairfedlora_fairfedmed.sh:31,71).
 
 Usage:  python tools/ref_parity.py [--rounds 3] [--out /tmp/parity]
-        (CPU-only; takes ~2-4 min on a 1-core host)
+          [--backbone RN50] [--modality oct_bscans] [--dataset FedChexMimic]
+          [--OT Sinkhorn|COT] [--all]
+        (CPU-only; ~1-3 min per axis on a 1-core host)
 
 Reference map: federated_main.py:604-726 (FedOTPLoRA branch),
 trainers/GLP_OT_SVLoRA.py:767-1054, utils/fed_utils.py:42-100.
@@ -495,8 +497,6 @@ def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
     finally:
         our_fm.build_trainer = our_build
 
-    import jax.numpy as jnp
-
     trainer = holder["trainer"]
     finals, probs = [], []
     for idx in range(args.num_users):
@@ -604,6 +604,10 @@ def main(argv=None):
                     help="oct_bscans exercises the 3D path: [::4] subsample, "
                          "proj_per_3d_slice, per-slice lora_S repeat, "
                          "slice-mean logits")
+    ap.add_argument("--all", action="store_true",
+                    help="run every parity axis (ViT 2D, OCT-3D, RN50, "
+                         "FedChexMimic, Sinkhorn, COT) and write a combined "
+                         "report to <out>/report_all.json")
     ap.add_argument("--dataset", choices=["FairFedMed", "FedChexMimic"],
                     default="FairFedMed",
                     help="FedChexMimic exercises the CheXpert+MIMIC JPEG "
@@ -618,6 +622,45 @@ def main(argv=None):
     ap.add_argument("--atol-metric", type=float, default=0.01,
                     help="max |Δ| on per-round acc (percent) / auc (percent)")
     opts = ap.parse_args(argv)
+
+    if opts.all:
+        axes = {
+            "vit_2d": [],
+            "oct_3d": ["--modality", "oct_bscans"],
+            "rn50": ["--backbone", "RN50"],
+            "fedchexmimic": ["--dataset", "FedChexMimic"],
+            "sinkhorn": ["--OT", "Sinkhorn"],
+            "cot": ["--OT", "COT"],
+        }
+        import subprocess
+
+        combined = {}
+        for name, extra in axes.items():
+            sub_out = os.path.join(opts.out, name)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--rounds", str(opts.rounds), "--out", sub_out, *extra],
+                capture_output=True, text=True)
+            ok = proc.returncode == 0 and "PARITY OK" in proc.stdout
+            combined[name] = {"ok": ok}
+            if ok:
+                with open(os.path.join(sub_out, "report.json")) as f:
+                    r = json.load(f)
+                combined[name].update({k: r[k] for k in
+                                       ("acc_max_delta", "auc_max_delta",
+                                        "eval_prob_max_delta",
+                                        "state_max_delta") if k in r})
+            else:
+                combined[name]["tail"] = "\n".join(
+                    (proc.stdout + proc.stderr).splitlines()[-8:])
+            print(f"[{name}] {'PARITY OK' if ok else 'FAILED'}", flush=True)
+        os.makedirs(opts.out, exist_ok=True)
+        with open(os.path.join(opts.out, "report_all.json"), "w") as f:
+            json.dump(combined, f, indent=2)
+        print(json.dumps(combined, indent=2))
+        if not all(v["ok"] for v in combined.values()):
+            sys.exit(1)
+        return combined
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
