@@ -271,8 +271,27 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _selftest_flaky():
+    """Fault-injection mode for testing _run_section's retry: the first
+    invocation (per marker file) dies like a transient tunnel failure, the
+    second succeeds.  Used by tests/test_bench_retry.py; never scheduled by
+    the orchestrator."""
+    import tempfile
+
+    marker = os.path.join(tempfile.gettempdir(),
+                          os.environ.get("BENCH_SELFTEST_MARKER",
+                                         "bench_selftest_marker"))
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        print("simulated transient FAILED_PRECONDITION", file=sys.stderr)
+        sys.exit(3)
+    os.remove(marker)
+    print(json.dumps({"metric": "selftest", "value": 1.0, "unit": "ok"}))
+
+
 _MODES = {
     "step": lambda: main(emit=True),
+    "selftest_flaky": _selftest_flaky,
     "round": lambda: main_round(emit=True),
     "round_prod": lambda: main_round(emit=True, n_train=2048, n_test=64,
                                      n_rounds=5, tag="round_prod"),
