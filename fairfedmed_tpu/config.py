@@ -315,6 +315,12 @@ def get_cfg_default() -> CfgNode:
     c.TRAINER.PROMPTFL.CTX_INIT = False
     c.TRAINER.PROMPTFL.PREC = "fp16"
     c.TRAINER.PROMPTFL.CLASS_TOKEN_POSITION = "end"
+    # the reference PromptFL/CLIP CustomCLIP.forward feeds the image encoder
+    # RAW 0-255 pixels on the medical datasets (promptfl.py:211-224,
+    # clip.py:218-231 — no /255, no mean/std; only the GLP models normalize
+    # inside forward, GLP_OT_SVLoRA.py:678-694).  Default False mirrors
+    # that; True applies CLIP's standard normalization
+    c.TRAINER.PROMPTFL.NORMALIZE_MEDICAL_INPUT = False
     c.TRAINER.GLP_OT = CfgNode()
     c.TRAINER.GLP_OT.N_CTX = 16
     c.TRAINER.GLP_OT.CSC = False

@@ -366,6 +366,7 @@ class GLPOTBase(TrainerX):
         # §2.4); this knob enables the INTENDED differentiable version
         diff_fair = bool(getattr(cfg.TRAINER.GLP_OT_LORA,
                                  "DIFFERENTIABLE_FAIRNESS", False))
+        diff_prox = bool(getattr(cfg.TRAINER, "DIFFERENTIABLE_FEDPROX", False))
 
         def loss_fn(trainable, frozen, stats, image, label, attr, ctx_global, mu):
             logits, valid, new_stats = self._forward(trainable, frozen, stats, image, attr, train=True)
@@ -376,9 +377,16 @@ class GLPOTBase(TrainerX):
                     logits, label, attr, self.num_groups,
                     differentiable=diff_fair)
             if ctx_global is not None:
-                # FedProx proximal term (promptfl.py:290-293)
+                # FedProx proximal term (promptfl.py:290-293). The reference
+                # builds it from detached state_dict() tensors, so it raises
+                # the reported loss with ZERO gradient; default mirrors that
+                # (extension here — the reference GLP trainers reject the
+                # fedprox kwargs outright), --differentiable_fedprox opts in
                 diff = trainable["prompt_learner"]["ctx"].astype(jnp.float32) - ctx_global
-                loss = loss + (mu / 2.0) * jnp.sum(diff * diff)
+                term = (mu / 2.0) * jnp.sum(diff * diff)
+                if not diff_prox:
+                    term = jax.lax.stop_gradient(term)
+                loss = loss + term
             return loss, (logits, valid, new_stats)
 
         return loss_fn

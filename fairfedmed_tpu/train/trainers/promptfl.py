@@ -73,12 +73,17 @@ class _CosineCLIPTrainer(TrainerX):
         cfg = self.cfg
         x = image.astype(jnp.float32)
         if cfg.DATASET.NAME in ("FairFedMed", "FedChexMimic", "WangGrant"):
-            # medical datasets bypass host transforms (build_transform returns
-            # None) — normalize on device like the GLP trainers' _preprocess
-            # (the reference fed these trainers ToTensor+Normalize output)
-            mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32).reshape(1, -1, 1, 1)
-            std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32).reshape(1, -1, 1, 1)
-            x = (x / 255.0 - mean) / std
+            # the medical loaders bypass host transforms, and the reference
+            # PromptFL/CLIP forward consumes the RAW 0-255 tensor as-is
+            # (promptfl.py:211-224, clip.py:218-231 — only the GLP models
+            # normalize inside forward).  Mirror that by default;
+            # TRAINER.PROMPTFL.NORMALIZE_MEDICAL_INPUT opts into CLIP's
+            # standard preprocessing
+            if getattr(cfg.TRAINER[self.prec_node], "NORMALIZE_MEDICAL_INPUT",
+                       False):
+                mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32).reshape(1, -1, 1, 1)
+                std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32).reshape(1, -1, 1, 1)
+                x = (x / 255.0 - mean) / std
         elif cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
             from ...data.datasets.cifar import CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD
             m, s = (CIFAR10_MEAN, CIFAR10_STD) if cfg.DATASET.NAME == "Cifar10" else (CIFAR100_MEAN, CIFAR100_STD)
@@ -113,12 +118,21 @@ class _CosineCLIPTrainer(TrainerX):
         return logit_scale * (pooled @ text.T).astype(jnp.float32)
 
     def _compile(self):
+        diff_prox = bool(getattr(self.cfg.TRAINER, "DIFFERENTIABLE_FEDPROX", False))
+
         def loss_fn(trainable, frozen, image, label, ctx_global, mu):
             logits = self._forward(trainable, frozen, image)
             loss = cross_entropy(logits, label)
             if ctx_global is not None:
+                # reference promptfl.py:290-293 builds the proximal term from
+                # state_dict() tensors, which torch DETACHES — it raises the
+                # reported loss but contributes ZERO gradient; default mirrors
+                # that, --differentiable_fedprox enables the intended pull
                 diff = trainable["prompt_learner"]["ctx"].astype(jnp.float32) - ctx_global
-                loss = loss + (mu / 2.0) * jnp.sum(diff * diff)
+                term = (mu / 2.0) * jnp.sum(diff * diff)
+                if not diff_prox:
+                    term = jax.lax.stop_gradient(term)
+                loss = loss + term
             return loss, logits
 
         def train_step(trainable, opt_state, frozen, image, label, ctx_global, mu):
@@ -141,14 +155,19 @@ class _CosineCLIPTrainer(TrainerX):
         the FedProx proximal term pulls toward ``frozen['__ctx_global__']``
         (the round's global prompt, threaded by the runner)."""
         tx = self.tx
+        diff_prox = bool(getattr(self.cfg.TRAINER, "DIFFERENTIABLE_FEDPROX", False))
 
         def loss_fn(trainable, frozen, image, label):
             logits = self._forward(trainable, frozen, image)
             loss = cross_entropy(logits, label)
             if fedprox_mu is not None:
+                # detached by default — see _compile (reference quirk)
                 diff = (trainable["prompt_learner"]["ctx"].astype(jnp.float32)
                         - frozen["__ctx_global__"])
-                loss = loss + (fedprox_mu / 2.0) * jnp.sum(diff * diff)
+                term = (fedprox_mu / 2.0) * jnp.sum(diff * diff)
+                if not diff_prox:
+                    term = jax.lax.stop_gradient(term)
+                loss = loss + term
             return loss, logits
 
         def local_step(trainable, opt_state, frozen, batch):
@@ -201,8 +220,14 @@ class _CosineCLIPTrainer(TrainerX):
 
     def load_state_dict(self, state, strict=False):
         if "prompt_learner.ctx" in state:
-            self.trainable["prompt_learner"]["ctx"] = jnp.asarray(
-                state["prompt_learner.ctx"], self.trainable["prompt_learner"]["ctx"].dtype)
+            cur = self.trainable["prompt_learner"]["ctx"]
+            new = jnp.asarray(state["prompt_learner.ctx"], cur.dtype)
+            if new.ndim == cur.ndim - 1:
+                # reference PromptFL checkpoints store ctx [n_ctx, dim]
+                # (promptfl.py:76-198, no prompt-bank axis); here the bank
+                # always carries a leading prompt axis of size 1
+                new = new[None]
+            self.trainable["prompt_learner"]["ctx"] = new
 
     def named_parameters(self):
         from ...core.pytree import flatten_paths

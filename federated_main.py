@@ -60,6 +60,11 @@ def extend_cfg(cfg, args):
     # accidentally detached; default False preserves reference behavior
     cfg.TRAINER.GLP_OT_LORA.DIFFERENTIABLE_FAIRNESS = bool(
         getattr(args, "differentiable_fairness", False))
+    # intended (differentiable) FedProx proximal term — the reference builds
+    # it from detached state_dict() tensors (promptfl.py:290-293), so it only
+    # inflates the reported loss; default False preserves reference behavior
+    cfg.TRAINER.DIFFERENTIABLE_FEDPROX = bool(
+        getattr(args, "differentiable_fedprox", False))
     # single optimizer/scheduler step per batch — the reference steps BOTH
     # registered model names through one shared optimizer when the image
     # encoder is unfrozen (Dassl trainer.py:333-342), i.e. a double step;
@@ -229,7 +234,7 @@ def main(args):
                 results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
+                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
             _report_split_client(cfg, args, epoch, [r[0] for r in results])
             print("------------local test finish-------------")
             break
@@ -264,7 +269,7 @@ def main(args):
                     results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
+                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
             _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model == "fedprox":
@@ -300,7 +305,7 @@ def main(args):
                     results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
+                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
             _report_split_client(cfg, args, epoch, [r[0] for r in results])
 
         elif args.model in {"PromptFL", "FedOTP"}:
@@ -503,7 +508,7 @@ def main(args):
                     results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
+                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
             _report_split_client(cfg, args, epoch, [r[0] for r in results])
             break
         else:
@@ -540,11 +545,15 @@ def main(args):
 
 
 def _summarize(results, start, time_list, acc_list, err_list, f1_list, auc_list,
-               epoch_list, epoch):
+               epoch_list, epoch, with_auc=True):
+    """Per-round metric block.  ``with_auc`` mirrors the reference's
+    per-branch reporting: only the PromptFL/FedOTP, FedOTPLinearFT and
+    FedOTPLoRA branches collect/print the AUC line (federated_main.py:462,
+    :579, :702); fedavg/fedprox/local/CLIP report acc/error/f1 only."""
     accs = [r[0] for r in results]
     errs = [r[1] for r in results]
     f1s = [r[2] for r in results]
-    aucs = [r[3] for r in results if len(r) > 3]
+    aucs = [r[3] for r in results if len(r) > 3] if with_auc else []
     time_list.append(time.time() - start)
     acc_list.append(_avg(accs))
     err_list.append(_avg(errs))
@@ -637,6 +646,10 @@ def build_arg_parser():
     parser.add_argument("--differentiable_fairness", action="store_true",
                         help="let the fairness regulariser contribute "
                              "gradients (the reference detaches it)")
+    parser.add_argument("--differentiable_fedprox", action="store_true",
+                        help="let the FedProx proximal term contribute "
+                             "gradients (the reference builds it from "
+                             "detached state_dict() tensors, promptfl.py:292)")
     parser.add_argument("--single_opt_step", action="store_true",
                         help="apply ONE optimizer/scheduler step per batch "
                              "(the reference double-steps both through its "

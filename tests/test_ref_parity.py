@@ -1,6 +1,6 @@
 """Cross-implementation e2e parity: the ACTUAL reference implementation
 (/root/reference, PyTorch) vs the rebuilt CLI on the same fixture from the
-same initial weights (tools/ref_parity.py), across three model paths:
+same initial weights (tools/ref_parity.py), across the model paths:
 
 * ViT-B/16 + 2D SLO fundus (the flagship FairLoRA shape),
 * ViT-B/16 + OCT b-scans (3D path: [::4] subsample, proj_per_3d_slice,
@@ -82,6 +82,18 @@ def test_reference_trajectories_match_fedchexmimic(tmp_path):
     report = _run_parity(tmp_path, ["--dataset", "FedChexMimic"],
                          min_state_keys=26)
     assert report["auc_max_delta"] <= 0.01
+
+
+def test_reference_trajectories_match_fedprox(tmp_path):
+    # the fedprox aggregation branch drives the reference's PromptFL trainer
+    # (the ONLY branch where it can train — elsewhere run_epoch passes
+    # is_last_client, which PromptFL.forward_backward rejects).  Exercises
+    # three reference quirks reproduced by default: raw 0-255 medical input
+    # (promptfl.py:211-224), the detached FedProx proximal term
+    # (promptfl.py:290-293), and branch-local AUC-free reporting.  Only ctx
+    # is trained/compared: 2 clients x prompt_learner.ctx = 2 keys.
+    report = _run_parity(tmp_path, ["--model", "fedprox"], min_state_keys=2)
+    assert report["ref_auc"] == [] and report["our_auc"] == []
 
 
 def test_reference_trajectories_match_cot(tmp_path):

@@ -137,3 +137,75 @@ def test_differentiable_fairness_knob_plumbs(tmp_path):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), grads[True], grads[False])
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+
+def test_differentiable_fedprox_knob_plumbs(tmp_path):
+    """The reference's FedProx proximal term is built from detached
+    state_dict() tensors (promptfl.py:290-293) — it inflates the reported
+    loss with ZERO gradient.  Default mirrors that;
+    TRAINER.DIFFERENTIABLE_FEDPROX enables the intended pull."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import federated_main
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.train import build_trainer
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=8, n_test=4, size=32)
+
+    def build(diff):
+        parser = federated_main.build_arg_parser()
+        args = parser.parse_args([])
+        args.opts = []
+        for k, v in dict(
+            model="fedprox", trainer="GLP_OT_SVLoRA", round=1, num_users=1,
+            frac=1.0, root=str(tmp_path), output_dir=str(tmp_path / "o"),
+            train_batch_size=4, test_batch_size=4, n_ctx=4, num_prompt=2,
+            avg_prompt=1, OT="None", backbone="test-vit", attribute_type="race",
+            attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+            modality_type="slo_fundus", unfreeze_image_encoder=False,
+            lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA",
+            lambda_fairness=0.0, differentiable_fedprox=diff,
+            config_file="", dataset_config_file="",
+            opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)",
+                  "SEED", "1", "TEST.EVALUATOR", "Classification_oph",
+                  "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
+                  "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
+        ).items():
+            setattr(args, k, v)
+        cfg = federated_main.setup_cfg(args)
+        return build_trainer(cfg)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 255, (4, 3, 32, 32)), jnp.float32)
+    label = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    attr = jnp.asarray([0, 1, 2, 0], jnp.int32)
+
+    grads = {}
+    losses = {}
+    for diff in (False, True):
+        tr = build(diff)
+        loss_fn = tr._build_loss_fn()
+        ctx_global = jnp.zeros_like(
+            tr.trainable["prompt_learner"]["ctx"], jnp.float32) + 0.25
+
+        def scalar(t):
+            return loss_fn(t, tr.frozen, {}, image, label, attr, ctx_global,
+                           jnp.float32(0.5))[0]
+
+        losses[diff] = float(scalar(tr.trainable))
+        grads[diff] = jax.grad(scalar)(tr.trainable)
+
+    # proximal term contributes to the VALUE either way
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+    # ... but to the GRADIENT only when differentiable
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), grads[True], grads[False])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+    # the detached default's ctx gradient comes from the CE term alone —
+    # it must NOT contain the mu*(ctx - global) pull
+    g_ctx = np.asarray(grads[True]["prompt_learner"]["ctx"]
+                       - grads[False]["prompt_learner"]["ctx"])
+    expected_pull = 0.5 * (np.asarray(tr.trainable["prompt_learner"]["ctx"],
+                                      np.float64) - 0.25)
+    np.testing.assert_allclose(g_ctx, expected_pull, rtol=1e-4, atol=1e-6)

@@ -269,7 +269,8 @@ def make_synthetic_rn_checkpoint(path: str, seed: int = 0):
 
 def _common_args(parser_mod, root, outdir, rounds, seed,
                  backbone="ViT-B/16", modality="slo_fundus", dim3d=2,
-                 lr=0.001, ot="None", dataset="FairFedMed"):
+                 lr=0.001, ot="None", dataset="FairFedMed",
+                 model="FedOTPLoRA"):
     args = parser_mod.build_arg_parser().parse_args([])
     if ot != "None":
         # sharpen the transport plan: at eps=0.1 a random-init similarity
@@ -280,8 +281,9 @@ def _common_args(parser_mod, root, outdir, rounds, seed,
         # GLP_OT_SVLoRA.py:738-743, which forward_backward never guards).
         args.eps = 0.05
         args.top_percent = 0.8
+    trainer = "PromptFL" if model in ("PromptFL", "fedprox") else "GLP_OT_SVLoRA"
     for k, v in dict(
-        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=rounds, num_users=2,
+        model=model, trainer=trainer, round=rounds, num_users=2,
         frac=1.0, lr=lr, root=root, output_dir=outdir, seed=seed,
         train_batch_size=16, test_batch_size=16, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT=ot, backbone=backbone, attribute_type="race",
@@ -298,7 +300,7 @@ def _common_args(parser_mod, root, outdir, rounds, seed,
         args.attributes = ["race", "gender", "age"]
     args.opts = ["DATASET.NAME", dataset, "INPUT.SIZE", "(224, 224)",
                  "SEED", str(seed), "TEST.EVALUATOR", "Classification_oph",
-                 "TRAINER.GLP_OT.PREC", "fp32",
+                 "TRAINER.GLP_OT.PREC", "fp32", "TRAINER.PROMPTFL.PREC", "fp32",
                  "OPTIM.NAME", "sgd", "OPTIM.MOMENTUM", "0.0",
                  "DATALOADER.NUM_WORKERS", "0",
                  "INPUT.PIXEL_MEAN", "[0.48145466, 0.4578275, 0.40821073]",
@@ -420,6 +422,15 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
     saved_stdout = sys.stdout
     try:
         ref_fm.main(args)
+    except UnboundLocalError as e:
+        # reference bug: the fedprox branch never binds all_users, so the
+        # final-save loop (federated_main.py:775) crashes AFTER every round
+        # trained and evaluated; the log and the trainer's end state carry
+        # everything the comparison needs
+        if "all_users" not in str(e):
+            raise
+        print(f"reference ended with its known fedprox bug: {e}",
+              file=saved_stdout)
     finally:
         # the Dassl logger tees stdout to log.txt through a buffered handle
         # it never closes — flush it so the round-1+ metric lines land
@@ -430,24 +441,34 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
 
     accs, aucs = _parse_log(os.path.join(outdir, "log.txt"))
     finals, probs = [], []
-    attr_col = args.attributes.index(args.attribute_type)
     trainer = holder["trainer"]
     for idx in range(args.num_users):
         p = os.path.join(outdir, f"global_client{idx}_final.pth")
         state = torch.load(p, map_location="cpu") if os.path.exists(p) else {}
+        if not state:
+            # fedavg/fedprox save the personalization store UNPOPULATED
+            # (reference federated_main.py:775-778 writes local_weights_per,
+            # which those branches never fill) — the trainer still holds the
+            # final global from the last round's eval loads
+            state = trainer.model.state_dict()
         finals.append({_ref_key_to_ours(k): v.detach().cpu().numpy()
                        for k, v in state.items() if _is_compared_key(k)})
         # final-state per-sample eval probabilities: the tie-robust
-        # equivalence (AUC flips on sub-1e-6 prob ties; probabilities don't)
+        # equivalence (AUC flips on sub-1e-6 prob ties; probabilities don't).
+        # Follows the trainer's own test protocol (SimpleTrainer.test,
+        # trainer.py:541-551): GLP trainers parse a 4-tuple and thread the
+        # target attr; PromptFL parses (input, label) and infers attr-free.
         trainer.model.load_state_dict(state, strict=False)
         trainer.set_model_mode("eval")
         pr, lab = [], []
         with torch.no_grad():
             for b in trainer.fed_test_loader_x_dict[idx]:
-                t = b["attrs"][:, attr_col]
-                out = trainer.model(b["img"], t)
+                parsed = trainer.parse_batch_test(b)
+                out = (trainer.model_inference(parsed[0], parsed[3])
+                       if len(parsed) >= 4 else
+                       trainer.model_inference(parsed[0]))
                 pr.append(torch.softmax(out.float(), -1)[:, 1].numpy())
-                lab.append(b["label"].numpy())
+                lab.append(parsed[1].numpy())
         probs.append((np.concatenate(pr), np.concatenate(lab)))
     return accs, aucs, captured, finals, probs
 
@@ -507,8 +528,11 @@ def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
         trainer.load_state_dict(state, strict=False)
         pr, lab = [], []
         for b in trainer.fed_test_loader_x_dict[idx]:
-            im, labels, _attrs, tgt = trainer.parse_batch_test(b)
-            lg = np.asarray(trainer.model_inference(im, tgt), np.float32)
+            parsed = trainer.parse_batch_test(b)
+            tgt = parsed[3] if len(parsed) >= 4 else None
+            lg = np.asarray(trainer.model_inference(parsed[0], tgt),
+                            np.float32)
+            labels = parsed[1]
             n_valid = int(b.get("n_valid", len(np.asarray(labels))))
             sm = np.exp(lg - lg.max(-1, keepdims=True))
             sm = sm / sm.sum(-1, keepdims=True)
@@ -535,13 +559,18 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
 
     ref_acc, ref_auc, _, ref_finals, ref_probs = ref
     our_acc, our_auc, our_finals, our_probs = ours
+    # AUC must be reported by both sides or neither (PromptFL on medical
+    # data drops attrs at parse_batch_test on both implementations)
+    assert (len(ref_auc) == 0) == (len(our_auc) == 0), \
+        f"AUC reported on only one side: ref {len(ref_auc)} vs ours {len(our_auc)}"
     report = {
         "ref_acc": ref_acc, "our_acc": our_acc,
         "ref_auc": ref_auc, "our_auc": our_auc,
         "acc_max_delta": float(np.max(np.abs(np.asarray(ref_acc)
                                              - np.asarray(our_acc)))),
-        "auc_max_delta": float(np.max(np.abs(np.asarray(ref_auc)
-                                             - np.asarray(our_auc)))),
+        "auc_max_delta": (float(np.max(np.abs(np.asarray(ref_auc)
+                                              - np.asarray(our_auc))))
+                          if ref_auc else 0.0),
     }
     assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
         f"round counts differ: {len(ref_acc)} vs {len(our_acc)}"
@@ -577,6 +606,8 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
         assert not missing, f"client {idx}: keys absent from rebuild: {missing[:4]}"
         for k in common:
             a, b = np.asarray(rf[k], np.float64), np.asarray(of[k], np.float64)
+            if a.ndim == b.ndim - 1 and b.shape[0] == 1:
+                b = b[0]  # PromptFL ctx: reference [n_ctx,d] vs bank [1,n_ctx,d]
             assert a.shape == b.shape, f"client {idx} {k}: {a.shape} vs {b.shape}"
             d = float(np.max(np.abs(a - b)))
             scale = float(np.max(np.abs(a))) or 1.0
@@ -608,6 +639,18 @@ def main(argv=None):
                     help="run every parity axis (ViT 2D, OCT-3D, RN50, "
                          "FedChexMimic, Sinkhorn, COT) and write a combined "
                          "report to <out>/report_all.json")
+    ap.add_argument("--model", choices=["FedOTPLoRA", "FedOTPLinearFT",
+                                        "FedOTP", "fedavg", "fedprox"],
+                    default="FedOTPLoRA",
+                    help="aggregation branch (reference federated_main.py: "
+                         "fedavg :269-324, fedprox :326-382, PromptFL/FedOTP "
+                         ":384-485, FedOTPLinearFT :487-602, FedOTPLoRA "
+                         ":604-726). fedprox runs the PromptFL trainer — the "
+                         "ONLY path where the reference's PromptFL trainer "
+                         "can train at all (its non-fedprox run_epoch call "
+                         "passes is_last_client, which "
+                         "PromptFL.forward_backward rejects with a "
+                         "TypeError; Dassl trainer.py:702, promptfl.py:276)")
     ap.add_argument("--dataset", choices=["FairFedMed", "FedChexMimic"],
                     default="FairFedMed",
                     help="FedChexMimic exercises the CheXpert+MIMIC JPEG "
@@ -631,6 +674,9 @@ def main(argv=None):
             "fedchexmimic": ["--dataset", "FedChexMimic"],
             "sinkhorn": ["--OT", "Sinkhorn"],
             "cot": ["--OT", "COT"],
+            "fedavg": ["--model", "fedavg"],
+            "fedprox": ["--model", "fedprox"],
+            "fedotp": ["--model", "FedOTP"],
         }
         import subprocess
 
@@ -696,7 +742,7 @@ def main(argv=None):
         if not os.path.exists(ckpt):
             make_synthetic_checkpoint(ckpt)
     cfg_kw = dict(backbone=opts.backbone, modality=opts.modality, ot=opts.ot,
-                  dataset=opts.dataset)
+                  dataset=opts.dataset, model=opts.model)
 
     print("== running reference (torch, CPU) ==", flush=True)
     ref = run_reference(root, ckpt, os.path.join(opts.out, "ref"), opts.rounds,
