@@ -35,6 +35,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run_parity(tmp_path, extra_args, min_state_keys):
+    """min_state_keys=None → an axis where the harness skips the state sweep
+    (CLIP: the reference model has no compared trainables; local: neither
+    side persists per-client local states — see tools/ref_parity.py)."""
     pytest.importorskip("torch")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     env.pop("PYTHONPATH", None)
@@ -49,11 +52,12 @@ def _run_parity(tmp_path, extra_args, min_state_keys):
         report = json.load(f)
     assert report["acc_max_delta"] <= 0.01
     assert report["parallel_acc_max_delta"] <= 0.01
-    # per-sample eval probabilities are the tie-robust equivalence; an AUC
-    # delta without it would have failed inside the harness already
-    assert report["eval_prob_max_delta"] <= 5e-5
-    assert report["train_movement"] > 1e-6
-    assert report["n_state_keys"] >= min_state_keys
+    if min_state_keys is not None:
+        # per-sample eval probabilities are the tie-robust equivalence; an
+        # AUC delta without it would have failed inside the harness already
+        assert report["eval_prob_max_delta"] <= 5e-5
+        assert report["train_movement"] > 1e-6
+        assert report["n_state_keys"] >= min_state_keys
     return report
 
 
@@ -94,6 +98,17 @@ def test_reference_trajectories_match_fedprox(tmp_path):
     # is trained/compared: 2 clients x prompt_learner.ctx = 2 keys.
     report = _run_parity(tmp_path, ["--model", "fedprox"], min_state_keys=2)
     assert report["ref_auc"] == [] and report["our_auc"] == []
+
+
+def test_reference_trajectories_match_clip_zeroshot(tmp_path):
+    # the eval-only CLIP branch (reference federated_main.py:223-267):
+    # zero-shot prompts embedded from "a photo of a <class>." with RAW
+    # 0-255 medical pixels (clip.py:218-231, no trainables anywhere — its
+    # PromptLearner keeps the embedding as a plain attribute).  Per-sample
+    # eval probabilities are compared inside the harness; state/movement
+    # sweeps are skipped.
+    report = _run_parity(tmp_path, ["--model", "CLIP"], min_state_keys=None)
+    assert report["eval_prob_max_delta"] <= 5e-5
 
 
 def test_reference_trajectories_match_cot(tmp_path):

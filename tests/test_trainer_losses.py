@@ -70,6 +70,36 @@ def test_fedprox_penalty_pulls_ctx_toward_global():
     np.testing.assert_allclose(np.asarray(g), mu * np.asarray(ctx), rtol=1e-6)
 
 
+def test_promptfl_medical_input_raw_by_default():
+    """The reference PromptFL/CLIP forward consumes RAW 0-255 pixels on the
+    medical datasets (promptfl.py:211-224, clip.py:218-231 — their loaders
+    skip transforms and only the GLP models normalize inside forward).
+    _device_preprocess must mirror that by default and normalize only under
+    TRAINER.PROMPTFL.NORMALIZE_MEDICAL_INPUT."""
+    from fairfedmed_tpu.config import get_cfg_default
+    from fairfedmed_tpu.train.trainers.promptfl import _CosineCLIPTrainer
+
+    cfg = get_cfg_default()
+    cfg.DATASET.NAME = "FairFedMed"
+    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+
+    tr = _CosineCLIPTrainer.__new__(_CosineCLIPTrainer)
+    tr.cfg = cfg
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 3, 8, 8)), jnp.float32)
+
+    raw = np.asarray(tr._device_preprocess(img))
+    np.testing.assert_array_equal(raw, np.asarray(img))
+
+    cfg.TRAINER.PROMPTFL.NORMALIZE_MEDICAL_INPUT = True
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32).reshape(1, -1, 1, 1)
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32).reshape(1, -1, 1, 1)
+    normed = np.asarray(tr._device_preprocess(img))
+    np.testing.assert_allclose(
+        normed, (np.asarray(img) / 255.0 - mean) / std, rtol=1e-6)
+
+
 def test_cross_entropy_matches_manual():
     logits, labels, _ = _batch()
     loss = float(cross_entropy(logits, labels))

@@ -59,6 +59,10 @@ import types
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_ROOT = os.environ.get("FFM_REFERENCE", "/root/reference")
 
+# Dassl Logger tees whose __del__ would close the real stdout (see
+# run_reference); parked here so they are never garbage-collected
+_TEES_KEPT_ALIVE = []
+
 # ----------------------------------------------------------------- shims
 
 
@@ -281,7 +285,12 @@ def _common_args(parser_mod, root, outdir, rounds, seed,
         # GLP_OT_SVLoRA.py:738-743, which forward_backward never guards).
         args.eps = 0.05
         args.top_percent = 0.8
-    trainer = "PromptFL" if model in ("PromptFL", "fedprox") else "GLP_OT_SVLoRA"
+    if model == "CLIP":
+        trainer = "CLIP"
+    elif model in ("PromptFL", "fedprox"):
+        trainer = "PromptFL"
+    else:
+        trainer = "GLP_OT_SVLoRA"
     for k, v in dict(
         model=model, trainer=trainer, round=rounds, num_users=2,
         frac=1.0, lr=lr, root=root, output_dir=outdir, seed=seed,
@@ -296,6 +305,13 @@ def _common_args(parser_mod, root, outdir, rounds, seed,
         resume=None,
     ).items():
         setattr(args, k, v)
+    if model == "CLIP":
+        # the reference's zero-shot PromptLearner requires a truthy CTX_INIT
+        # (clip.py:88-98: prompt_prefix is unbound otherwise) and hard-codes
+        # the prefix to "a photo of a" regardless of the value; pass the
+        # string so the rebuilt trainer embeds the same words
+        args.ctx_init = "a photo of a"
+        args.unfreeze_image_encoder = False
     if dataset == "FedChexMimic":
         args.attributes = ["race", "gender", "age"]
     args.opts = ["DATASET.NAME", dataset, "INPUT.SIZE", "(224, 224)",
@@ -344,6 +360,15 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
     import torch
 
     install_shims()
+    if not torch.cuda.is_available() and not getattr(torch.Tensor.cuda,
+                                                     "_parity_noop", False):
+        # the reference's CLIP trainer hard-codes .cuda() in its forward
+        # (clip.py:221-222) — identity on the CPU-only parity host
+        def _cuda_noop(self, *a, **k):
+            return self
+
+        _cuda_noop._parity_noop = True
+        torch.Tensor.cuda = _cuda_noop
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     # the reference's ``datasets`` dir has no __init__.py (namespace
@@ -423,20 +448,24 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
     try:
         ref_fm.main(args)
     except UnboundLocalError as e:
-        # reference bug: the fedprox branch never binds all_users, so the
-        # final-save loop (federated_main.py:775) crashes AFTER every round
-        # trained and evaluated; the log and the trainer's end state carry
-        # everything the comparison needs
+        # reference bug: the fedavg/fedprox/local/CLIP branches never bind
+        # all_users, so the final-save loop (federated_main.py:775) crashes
+        # AFTER every round trained and evaluated; the log and the trainer's
+        # end state carry everything the comparison needs
         if "all_users" not in str(e):
             raise
         print(f"reference ended with its known fedprox bug: {e}",
               file=saved_stdout)
     finally:
         # the Dassl logger tees stdout to log.txt through a buffered handle
-        # it never closes — flush it so the round-1+ metric lines land
+        # it never closes — flush it so the round-1+ metric lines land.
+        # KEEP the tee alive afterwards: Logger.__del__ → close() closes
+        # self.console — the REAL stdout — on garbage collection
+        # (Dassl/dassl/utils/logger.py:34-57)
         tee = sys.stdout
         if getattr(tee, "file", None) is not None:
             tee.file.flush()
+            _TEES_KEPT_ALIVE.append(tee)
         sys.stdout = saved_stdout
 
     accs, aucs = _parse_log(os.path.join(outdir, "log.txt"))
@@ -546,7 +575,8 @@ def run_ours(root: str, outdir: str, rounds: int, init_state: dict,
 
 
 def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
-            atol_prob=5e-5):
+            atol_prob=5e-5, trained=True, compare_states=True,
+            compare_probs=True):
     """Returns a report dict; raises AssertionError on mismatch.
 
     The PRIMARY equivalence is per-sample: final-state eval probabilities
@@ -554,7 +584,17 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
     legitimately differ beyond fp noise when two samples' probabilities tie
     within implementation noise (a rank flip moves AUC by 1/(n₊·n₋)); such a
     gap is reported as ``auc_delta_is_tie_noise`` instead of failing,
-    PROVIDED the per-sample probabilities agree."""
+    PROVIDED the per-sample probabilities agree.
+
+    ``trained=False`` (CLIP zero-shot: no trainable state at all in the
+    reference's model) skips the train-movement guard; ``compare_states=False``
+    skips the final-state sweep (CLIP: the reference PromptLearner keeps its
+    embedding as a plain attribute, so state_dict carries NO compared keys);
+    ``compare_probs=False`` additionally skips the per-sample sweep (local
+    branch: NEITHER side persists the per-client local states — the reference
+    saves its never-populated personalization store, federated_main.py:775 —
+    so final-state eval is not meaningful; the acc trajectory is the
+    comparison)."""
     import numpy as np
 
     ref_acc, ref_auc, _, ref_finals, ref_probs = ref
@@ -575,14 +615,15 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
     assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
         f"round counts differ: {len(ref_acc)} vs {len(our_acc)}"
 
-    prob_deltas = []
-    for idx, ((rpr, rlab), (opr, olab)) in enumerate(zip(ref_probs, our_probs)):
-        assert np.array_equal(rlab, olab), \
-            f"client {idx}: eval label sequence differs"
-        assert rpr.shape == opr.shape, f"client {idx}: prob count differs"
-        prob_deltas.append(float(np.abs(rpr - opr).max()))
-    report["eval_prob_max_delta"] = max(prob_deltas)
-    assert report["eval_prob_max_delta"] <= atol_prob, report
+    if compare_probs:
+        prob_deltas = []
+        for idx, ((rpr, rlab), (opr, olab)) in enumerate(zip(ref_probs, our_probs)):
+            assert np.array_equal(rlab, olab), \
+                f"client {idx}: eval label sequence differs"
+            assert rpr.shape == opr.shape, f"client {idx}: prob count differs"
+            prob_deltas.append(float(np.abs(rpr - opr).max()))
+        report["eval_prob_max_delta"] = max(prob_deltas)
+        assert report["eval_prob_max_delta"] <= atol_prob, report
 
     assert report["acc_max_delta"] <= atol_metric, report
     if report["auc_max_delta"] > atol_metric:
@@ -591,12 +632,16 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
     # training must have MOVED the state — identical-but-untrained runs
     # (e.g. a zero-lr bug on both sides) must not pass as parity
     init = ref[2]
-    moved = max(
-        float(np.max(np.abs(np.asarray(rf[k], np.float64)
-                            - np.asarray(init[k], np.float64))))
-        for rf in ref_finals for k in rf if k in init)
-    assert moved > 1e-6, f"reference state never moved from init ({moved=})"
-    report["train_movement"] = moved
+    if trained:
+        moved = max(
+            float(np.max(np.abs(np.asarray(rf[k], np.float64)
+                                - np.asarray(init[k], np.float64))))
+            for rf in ref_finals for k in rf if k in init)
+        assert moved > 1e-6, f"reference state never moved from init ({moved=})"
+        report["train_movement"] = moved
+
+    if not compare_states:
+        return report
 
     state_deltas = {}
     for idx, (rf, of) in enumerate(zip(ref_finals, our_finals)):
@@ -640,17 +685,22 @@ def main(argv=None):
                          "FedChexMimic, Sinkhorn, COT) and write a combined "
                          "report to <out>/report_all.json")
     ap.add_argument("--model", choices=["FedOTPLoRA", "FedOTPLinearFT",
-                                        "FedOTP", "fedavg", "fedprox"],
+                                        "FedOTP", "fedavg", "fedprox",
+                                        "local", "CLIP"],
                     default="FedOTPLoRA",
                     help="aggregation branch (reference federated_main.py: "
-                         "fedavg :269-324, fedprox :326-382, PromptFL/FedOTP "
-                         ":384-485, FedOTPLinearFT :487-602, FedOTPLoRA "
-                         ":604-726). fedprox runs the PromptFL trainer — the "
-                         "ONLY path where the reference's PromptFL trainer "
-                         "can train at all (its non-fedprox run_epoch call "
-                         "passes is_last_client, which "
-                         "PromptFL.forward_backward rejects with a "
-                         "TypeError; Dassl trainer.py:702, promptfl.py:276)")
+                         "CLIP eval-only :223-267, fedavg :269-324, fedprox "
+                         ":326-382, PromptFL/FedOTP :384-485, FedOTPLinearFT "
+                         ":487-602, FedOTPLoRA :604-726, local :728-773). "
+                         "fedprox runs the PromptFL trainer — the ONLY path "
+                         "where the reference's PromptFL trainer can train "
+                         "at all (its non-fedprox run_epoch call passes "
+                         "is_last_client, which PromptFL.forward_backward "
+                         "rejects with a TypeError; Dassl trainer.py:702, "
+                         "promptfl.py:276). CLIP compares the zero-shot "
+                         "eval probabilities; local compares the acc "
+                         "trajectory only (neither side persists per-client "
+                         "local states, see compare())")
     ap.add_argument("--dataset", choices=["FairFedMed", "FedChexMimic"],
                     default="FairFedMed",
                     help="FedChexMimic exercises the CheXpert+MIMIC JPEG "
@@ -677,6 +727,8 @@ def main(argv=None):
             "fedavg": ["--model", "fedavg"],
             "fedprox": ["--model", "fedprox"],
             "fedotp": ["--model", "FedOTP"],
+            "local": ["--model", "local"],
+            "clip_zeroshot": ["--model", "CLIP"],
         }
         import subprocess
 
@@ -757,11 +809,16 @@ def main(argv=None):
                         ref[2], parallel=True, **cfg_kw)
     print(f"mesh:      acc={ours_par[0]} auc={ours_par[1]}", flush=True)
 
-    report = compare(ref, ours, atol_metric=opts.atol_metric)
-    par_report = compare(ref, ours_par, atol_metric=opts.atol_metric)
+    cmp_kw = dict(atol_metric=opts.atol_metric,
+                  trained=opts.model != "CLIP",
+                  compare_states=opts.model not in ("CLIP", "local"),
+                  compare_probs=opts.model != "local")
+    report = compare(ref, ours, **cmp_kw)
+    par_report = compare(ref, ours_par, **cmp_kw)
     report["parallel_acc_max_delta"] = par_report["acc_max_delta"]
     report["parallel_auc_max_delta"] = par_report["auc_max_delta"]
-    report["parallel_state_max_delta"] = par_report["state_max_delta"]
+    if "state_max_delta" in par_report:
+        report["parallel_state_max_delta"] = par_report["state_max_delta"]
     with open(os.path.join(opts.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
