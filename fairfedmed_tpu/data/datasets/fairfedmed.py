@@ -91,8 +91,12 @@ class FairFedMedDataset:
         cache_path = csv_path + ".index.json"
         keys = set(self.attributes) | ({self.attribute_type} if self.attribute_type else set())
         if use_cache and os.path.exists(cache_path):
-            with open(cache_path) as f:
-                cached = json.load(f)
+            try:
+                with open(cache_path) as f:
+                    cached = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                cached = {}  # torn/unreadable cache (e.g. a killed writer):
+                # fall through and rebuild — never poison every later run
             # the cache must cover both the files AND the attribute keys it
             # was built with — a narrower earlier --attributes run would
             # otherwise silently serve -1 for every new attribute
@@ -113,9 +117,14 @@ class FairFedMedDataset:
                 "label": int(float(raw["glaucoma"])) if "glaucoma" in raw.files else 0,
             }
         if use_cache:
+            # atomic publish (tmp + rename): a writer killed mid-dump (bench
+            # subprocess timeout, preemption) must never leave a torn JSON
+            # that every later run would crash on
             try:
-                with open(cache_path, "w") as f:
+                tmp_path = f"{cache_path}.{os.getpid()}.tmp"
+                with open(tmp_path, "w") as f:
                     json.dump({**index, "__attr_keys__": sorted(keys)}, f)
+                os.replace(tmp_path, cache_path)
             except OSError:
                 pass
         return index

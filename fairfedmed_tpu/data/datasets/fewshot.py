@@ -60,9 +60,12 @@ def save_split(train, val, test, filepath: str, path_prefix: str):
         return out
 
     os.makedirs(os.path.dirname(filepath), exist_ok=True)
-    with open(filepath, "w") as f:
+    # atomic publish: a killed writer must not leave a torn split file
+    tmp = f"{filepath}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         json.dump({"train": extract(train), "val": extract(val),
                    "test": extract(test)}, f, indent=1)
+    os.replace(tmp, filepath)
     print(f"Saved split to {filepath}")
 
 

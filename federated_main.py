@@ -216,6 +216,14 @@ def main(args):
 
     # preemption recovery: when FAIRFEDMED_ROUND_CKPT holds a saved round,
     # restore the device-resident federated state and continue after it
+    if args.resume and runner is None:
+        # round-state checkpointing lives in the mesh runner; without it the
+        # flag would otherwise be silently inert (the reference also ships
+        # resume disabled, Dassl trainer.py:435-436 — but never advertise a
+        # no-op)
+        print(f"WARNING: --resume {args.resume} requires the "
+              "--parallel_clients mesh path; no round-state checkpoint will "
+              "be written or restored on the sequential loop")
     start_epoch = runner.maybe_resume() if runner is not None else 0
     if start_epoch >= max_epoch:
         print(f"resumed checkpoint is at epoch {start_epoch - 1} >= "

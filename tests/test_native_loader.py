@@ -119,6 +119,33 @@ def test_clear_prefetch_drops_tickets(tmp_path):
     assert img.shape[0] == 3
 
 
+def test_fairfedmed_torn_index_cache_rebuilds(tmp_path):
+    """A writer killed mid-dump (bench subprocess timeout, preemption) must
+    never poison the shared fixture cache: a torn .index.json is rebuilt, and
+    the rewrite publishes atomically (tmp + os.replace)."""
+    import glob
+    import json
+
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=6, n_test=4, size=24)
+    kw = dict(base_path=str(tmp_path / "fairfedmed"), site=1,
+              attribute_type="race", attributes=["gender", "race"],
+              modality_type="slo_fundus", resolution=24, train=True)
+    ds = FairFedMedDataset(**kw)
+    caches = glob.glob(str(tmp_path / "fairfedmed" / "*.index.json"))
+    assert caches, "index cache was not written"
+    with open(caches[0], "w") as f:
+        f.write('{"torn": ')  # truncated JSON: simulates a killed writer
+    ds2 = FairFedMedDataset(**kw)  # must rebuild, not raise
+    assert len(ds2) == len(ds)
+    with open(caches[0]) as f:
+        rebuilt = json.load(f)  # and the cache is valid JSON again
+    assert "__attr_keys__" in rebuilt
+    assert not glob.glob(str(tmp_path / "fairfedmed" / "*.tmp"))
+
+
 def test_fairfedmed_prefetch_path(tmp_path):
     from tests.fixtures import make_fairfedmed_fixture
     from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset

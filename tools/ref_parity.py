@@ -603,6 +603,9 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
     # data drops attrs at parse_batch_test on both implementations)
     assert (len(ref_auc) == 0) == (len(our_auc) == 0), \
         f"AUC reported on only one side: ref {len(ref_auc)} vs ours {len(our_auc)}"
+    assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
+        (f"round counts differ: acc {len(ref_acc)} vs {len(our_acc)}, "
+         f"auc {len(ref_auc)} vs {len(our_auc)}")
     report = {
         "ref_acc": ref_acc, "our_acc": our_acc,
         "ref_auc": ref_auc, "our_auc": our_auc,
@@ -612,8 +615,6 @@ def compare(ref, ours, atol_metric=0.01, rtol_state=1e-4, atol_state=1e-6,
                                               - np.asarray(our_auc))))
                           if ref_auc else 0.0),
     }
-    assert len(ref_acc) == len(our_acc) and len(ref_auc) == len(our_auc), \
-        f"round counts differ: {len(ref_acc)} vs {len(our_acc)}"
 
     if compare_probs:
         prob_deltas = []
@@ -737,7 +738,9 @@ def main(argv=None):
             sub_out = os.path.join(opts.out, name)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--rounds", str(opts.rounds), "--out", sub_out, *extra],
+                 "--rounds", str(opts.rounds), "--out", sub_out,
+                 "--n-train", str(opts.n_train), "--n-test", str(opts.n_test),
+                 "--atol-metric", str(opts.atol_metric), *extra],
                 capture_output=True, text=True)
             ok = proc.returncode == 0 and "PARITY OK" in proc.stdout
             combined[name] = {"ok": ok}
