@@ -97,7 +97,9 @@ def vit_train_flops_per_image(cfg, n_text_seqs: int = 4, remat: bool = True) -> 
     Vision tower per layer: QKV+out projections, attention scores+mix, 4x MLP;
     plus patch embedding.  Text tower runs n_text_seqs sequences of length 77
     per STEP (amortized per image by the caller).  Backward = 2x forward;
-    full-block remat recomputes forward once more.
+    remat recomputes forward once more (both the default "attn_res" policy
+    and full-block remat replay the whole forward in backward — attn_res
+    only shortens the serial recompute chain, not the recompute FLOPs).
     """
     M = (cfg.image_resolution // cfg.vision_patch_size) ** 2 + 1
     d = cfg.vision_width

