@@ -129,9 +129,13 @@ def multi_head_attention(
     one Pallas kernel (ops/attention.py) — HBM traffic O(L·dh) instead of the
     unfused O(L²) score round-trips.
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     b, l, d = x.shape
     dh = d // num_heads
     qkv = dense(x, p["in_proj_weight"], p["in_proj_bias"])  # [B, L, 3D]
+    # no-op identity unless an enclosing remat policy names it (see transformer)
+    qkv = checkpoint_name(qkv, "attn_qkv")
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
@@ -148,6 +152,7 @@ def multi_head_attention(
         if mask is not None:
             scores = scores + mask.astype(scores.dtype)
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = checkpoint_name(attn, "attn_probs")
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     return dense(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
@@ -192,6 +197,10 @@ def transformer(
       beats full-block remat at every batch (b32 972→1048, b64 807→847,
       b128 701→739 img/s) and still compiles at batch 128 where ``"none"``
       OOMs;
+    * ``"attn_all"`` — additionally save attention's qkv and softmax probs
+      (~60 MB/layer at batch 32) so backward recomputes ONLY the MLP;
+      trades ~45% of the recompute FLOPs for extra saved-activation HBM
+      traffic;
     * ``"full"`` (or True) — checkpoint everything: without it the scan saves
       every layer's [B, L, 4D] MLP activations for backward (~18 GB for
       ViT-B/16 at batch 128 — OOM on a 16 GB chip); recomputing costs ~⅓
@@ -214,6 +223,13 @@ def transformer(
         wrap = lambda f: jax.checkpoint(
             f, prevent_cse=False,
             policy=jax.checkpoint_policies.save_only_these_names("attn_res"))
+    elif remat == "attn_all":
+        # additionally keep qkv + softmax probs so backward recomputes ONLY
+        # the MLP (attention backward reuses its saved internals)
+        wrap = lambda f: jax.checkpoint(
+            f, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_res", "attn_qkv", "attn_probs"))
     elif remat == "dots":
         wrap = lambda f: jax.checkpoint(
             f, prevent_cse=False,
@@ -223,7 +239,7 @@ def transformer(
     else:
         raise ValueError(f"unknown remat policy {remat!r}")
 
-    # the tag is a no-op identity unless the "attn_res" policy is selected
+    # the tag is a no-op identity unless a name-saving policy selects it
     from jax.ad_checkpoint import checkpoint_name
 
     if lora is None:

@@ -136,7 +136,7 @@ def test_remat_policies_identical(params, with_lora):
         return val, grads
 
     ref_val, ref_grads = run("none")
-    for pol in ("attn_res", "full", "dots"):
+    for pol in ("attn_res", "attn_all", "full", "dots"):
         val, grads = run(pol)
         np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
                                    rtol=1e-6, atol=0, err_msg=pol)
