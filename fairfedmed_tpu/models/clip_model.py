@@ -200,7 +200,8 @@ def transformer(
     * ``"attn_all"`` — additionally save attention's qkv and softmax probs
       (~60 MB/layer at batch 32) so backward recomputes ONLY the MLP;
       trades ~45% of the recompute FLOPs for extra saved-activation HBM
-      traffic;
+      traffic, and LOSES on v5e (b32 987 vs 1038, b64 778 vs 828 img/s) —
+      kept as an opt-in data point on the remat frontier;
     * ``"full"`` (or True) — checkpoint everything: without it the scan saves
       every layer's [B, L, 4D] MLP activations for backward (~18 GB for
       ViT-B/16 at batch 128 — OOM on a 16 GB chip); recomputing costs ~⅓
