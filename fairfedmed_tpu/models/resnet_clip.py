@@ -103,10 +103,15 @@ def batch_norm(bn, stat, x, train: bool):
     else:
         mean, var = stat["mean"], stat["var"]
         new_stat = stat
-    y = (x32 - mean.reshape(1, -1, 1, 1)) * jax.lax.rsqrt(var.reshape(1, -1, 1, 1) + BN_EPS)
-    y = y * bn["weight"].astype(jnp.float32).reshape(1, -1, 1, 1) \
-        + bn["bias"].astype(jnp.float32).reshape(1, -1, 1, 1)
-    return y.astype(x.dtype), new_stat
+    # fold (mean, var, weight, bias) into one per-channel scale+shift in fp32,
+    # then apply in the input dtype: the [B,C,H,W]-sized elementwise chain is
+    # bandwidth-bound and fp32 doubles its bytes (the per-channel vectors stay
+    # fp32, matching torch's fp16-input BN which normalizes via fp32 stats)
+    inv = jax.lax.rsqrt(var + BN_EPS) * bn["weight"].astype(jnp.float32)
+    shift = bn["bias"].astype(jnp.float32) - mean * inv
+    y = x * inv.astype(x.dtype).reshape(1, -1, 1, 1) \
+        + shift.astype(x.dtype).reshape(1, -1, 1, 1)
+    return y, new_stat
 
 
 def conv1x1_with_lora(x, w, lora, attr_mix, scaling, policy):
@@ -114,17 +119,22 @@ def conv1x1_with_lora(x, w, lora, attr_mix, scaling, policy):
     path, GLP_OT_SVLoRA.py:469-480)."""
     y = conv2d(x, w, policy=policy)
     if lora is not None:
-        # rank-r delta computed in f32: negligible FLOPs, and the mixed-layout
-        # bf16→f32 einsums are unsupported by the CPU dot thunks
-        x32 = x.astype(jnp.float32)
-        a = lora["lora_A"].astype(jnp.float32)  # [C_in, r]
-        b = lora["lora_B"].astype(jnp.float32)  # [r, C_out]
-        h = jnp.einsum("bchw,cr->brhw", x32, a)
+        # rank-r delta in the policy compute dtype (bf16 on TPU — the analogue
+        # of the reference's fp16 LoRA matmuls; the MXU accumulates in fp32
+        # internally).  At RN50's canonical rank 32 the delta einsums rival
+        # the 1×1 conv's own FLOPs, so forcing them to fp32 (half MXU rate)
+        # is measurable.  No preferred_element_type: the bf16→f32 mixed-
+        # layout einsum is unsupported by the CPU dot thunks.
+        dt = policy.compute_dtype if policy else x.dtype
+        xc = x.astype(dt)
+        a = lora["lora_A"].astype(dt)  # [C_in, r]
+        b = lora["lora_B"].astype(dt)  # [r, C_out]
+        h = jnp.einsum("bchw,cr->brhw", xc, a)
         from ..adapters.lora import effective_s
 
         s = effective_s(lora, attr_mix, x.shape[0])
         if s is not None:
-            h = h * s.astype(jnp.float32)[:, :, None, None]
+            h = h * s.astype(dt)[:, :, None, None]
         dy = jnp.einsum("brhw,ro->bohw", h, b).astype(y.dtype)
         y = y + dy * scaling
     return y
