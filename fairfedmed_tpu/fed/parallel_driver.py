@@ -392,8 +392,16 @@ class ParallelRoundRunner:
         weights = jnp.asarray([freqs[i] for i in idxs_users], jnp.float32)
         group_w = None
         if freqs_by_attr is not None:
-            group_w = jnp.asarray(
-                np.stack([freqs_by_attr[i] for i in idxs_users]), jnp.float32)
+            gw = np.stack([freqs_by_attr[i] for i in idxs_users])
+            # The histogram width is OBSERVATION-dependent (count_by_attribute
+            # returns [0..max seen group id]); when no client's data reaches
+            # the model's last group it is narrower than lora_S's group dim.
+            # The reference (fed_utils.py:18-19, shape guard) and the
+            # sequential path (aggregate._is_group_s) then silently fall back
+            # to the plain client-weighted mean for lora_S — reproduce that
+            # instead of reshaping a too-narrow weight matrix.
+            if gw.shape[1] == self.num_groups:
+                group_w = jnp.asarray(gw, jnp.float32)
         beta_decay = jnp.float32(0.999 * (epoch / max(max_epoch, 1)))
 
         if test_users is None or len(test_users) == 0:
@@ -465,7 +473,12 @@ class ParallelRoundRunner:
         G = self.num_groups
         avg_prompt = self.avg_prompt
         local_s = self.local_s and mode in ("ema_personal", "fedavg_personal")
-        shared_half_s = self.shared_half_s and mode == "ema_personal"
+        # the reference's shared_half_s is inside the SAME
+        # by-attr-and-shape guard as group weighting (fed_utils.py:91): no
+        # group weights (DISABLE_ATTR, or an observed-histogram width that
+        # mismatches lora_S's group dim) also means no half-S sharing
+        shared_half_s = (self.shared_half_s and mode == "ema_personal"
+                         and has_group_w)
 
         def agg_impl(trained_t, global_t, personal_t, weights, group_w,
                      beta_decay, idx_arr, update_idx, keep_mask):

@@ -118,6 +118,38 @@ def test_parallel_matches_sequential_local(fairfedmed_root, tmp_path):
                 err_msg=f"client {idx} key {k}")
 
 
+def test_parallel_group_width_fallback(tmp_path):
+    """Observed demographic groups narrower than the model's group table
+    (here race ∈ {0,1} vs the 3-row FairFedMed table): the reference's
+    shape guard (fed_utils.py:18,91) silently falls back to the plain
+    client-weighted mean AND skips shared_half_s for lora_S.  The mesh path
+    must reproduce that fallback instead of crashing on the group-weight
+    reshape (regression: TypeError cannot reshape (m,2) into (m,1,3,1))."""
+    import glob
+
+    root = tmp_path / "data"
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+    for p in glob.glob(str(root / "fairfedmed" / "all" / "*.npz")):
+        raw = dict(np.load(p, allow_pickle=True))
+        raw["race"] = np.minimum(raw["race"], 1)
+        np.savez(p, **raw)
+
+    out_seq = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
+
+
 def test_round_state_checkpoint_roundtrip(fairfedmed_root, tmp_path, monkeypatch):
     """FAIRFEDMED_ROUND_CKPT saves the device-resident federated state every
     TRAIN.CHECKPOINT_FREQ rounds; load_round_state restores it bit for bit."""
