@@ -10,9 +10,10 @@ deepcopy → host aggregation, once per client per round) with:
 
 * ONE SPMD program per round training every selected client simultaneously —
   per-client trainables stacked on a ``clients`` mesh axis
-  (:func:`..fed.parallel.make_client_train_round`); on a single chip the
-  clients vmap into a wider effective batch, on a pod slice they shard over
-  ICI;
+  (:func:`..fed.parallel.make_client_train_round`); on a single chip
+  co-located clients scan SEQUENTIALLY so each step stays on the
+  throughput-optimal per-step batch (vmap-widening measured slower:
+  1048 img/s at batch 32 vs 847 at 64), on a pod slice they shard over ICI;
 * per-client trainable/optimizer pytrees resident ON DEVICE between rounds —
   no state_dict pulls inside the round loop; the host sees only the packed
   per-round metrics vector;

@@ -103,15 +103,18 @@ def batch_norm(bn, stat, x, train: bool):
     else:
         mean, var = stat["mean"], stat["var"]
         new_stat = stat
-    # fold (mean, var, weight, bias) into one per-channel scale+shift in fp32,
-    # then apply in the input dtype: the [B,C,H,W]-sized elementwise chain is
-    # bandwidth-bound and fp32 doubles its bytes (the per-channel vectors stay
-    # fp32, matching torch's fp16-input BN which normalizes via fp32 stats)
+    # fold (mean, var, weight, bias) into one per-channel scale+shift, applied
+    # in fp32 with ONE rounding to the input dtype — a BatchNorm fp32 island,
+    # like the LayerNorm islands of the ViT tower and like torch's fp16-input
+    # cudnn BN (normalize in fp32, round only the output).  Applying in bf16
+    # is NOT safe here: x·inv and shift are large near-cancelling terms, so
+    # the rounded-operand error is amplified by |mean|/std — per-channel
+    # percent-level noise the reference's fp16 path does not have.  (Measured
+    # cost of the fp32 apply vs bf16: ~2.5% of the RN50 step.)
     inv = jax.lax.rsqrt(var + BN_EPS) * bn["weight"].astype(jnp.float32)
     shift = bn["bias"].astype(jnp.float32) - mean * inv
-    y = x * inv.astype(x.dtype).reshape(1, -1, 1, 1) \
-        + shift.astype(x.dtype).reshape(1, -1, 1, 1)
-    return y, new_stat
+    y = x32 * inv.reshape(1, -1, 1, 1) + shift.reshape(1, -1, 1, 1)
+    return y.astype(x.dtype), new_stat
 
 
 def conv1x1_with_lora(x, w, lora, attr_mix, scaling, policy):

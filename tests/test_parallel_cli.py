@@ -150,6 +150,43 @@ def test_parallel_group_width_fallback(tmp_path):
                 err_msg=f"client {idx} key {k}")
 
 
+def test_parallel_group_zero_count_padding(tmp_path):
+    """RAGGED histogram widths: one site never sees the highest race group,
+    so its count_by_attribute list is shorter.  The CLI pads it with a zero
+    count (federated_main.py:184-186), group weighting still applies, and
+    the zero-membership group's weights fall back to uniform
+    (fed/aggregate._freqs, the reference-NaN fix).  Mesh == sequential."""
+    import glob
+
+    root = tmp_path / "data"
+    make_fairfedmed_fixture(str(root), n_sites=2, n_train=8, n_test=6, size=32)
+    files = sorted(glob.glob(str(root / "fairfedmed" / "all" / "*.npz")))
+    assert len(files) == 28
+    for p in files[:14]:  # site 1's 8 train + 6 test files
+        raw = dict(np.load(p, allow_pickle=True))
+        raw["race"] = np.minimum(raw["race"], 1)
+        np.savez(p, **raw)
+    # premise: site 2's train data must still reach group 2 so the padded
+    # width (3) matches the model's group table and group weighting applies
+    site2_train_races = [int(np.load(p)["race"]) for p in files[14:22]]
+    assert max(site2_train_races) == 2, site2_train_races
+
+    out_seq = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
+
+
 def test_round_state_checkpoint_roundtrip(fairfedmed_root, tmp_path, monkeypatch):
     """FAIRFEDMED_ROUND_CKPT saves the device-resident federated state every
     TRAIN.CHECKPOINT_FREQ rounds; load_round_state restores it bit for bit."""

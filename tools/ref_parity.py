@@ -728,6 +728,7 @@ def main(argv=None):
             "fedavg": ["--model", "fedavg"],
             "fedprox": ["--model", "fedprox"],
             "fedotp": ["--model", "FedOTP"],
+            "fedotp_linft": ["--model", "FedOTPLinearFT"],
             "local": ["--model", "local"],
             "clip_zeroshot": ["--model", "CLIP"],
         }
