@@ -23,7 +23,6 @@ triple given a per-client ``local_step`` function and dotted-path metadata.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -81,7 +80,7 @@ def personalize(new_global, local_tree, avg_prompt: int, local_s: bool):
 
     def fn(path, g):
         loc = _get_by_path(local_tree, path)
-        if path.endswith("prompt_learner.ctx") or path == "prompt_learner.ctx":
+        if path.endswith("prompt_learner.ctx"):
             return jnp.concatenate([g[:avg_prompt], loc[avg_prompt:]], axis=0)
         if local_s and "lora_S" in path:
             return loc
@@ -189,10 +188,11 @@ def make_client_train_round(mesh: Mesh, local_step: Callable, batch_spec=None):
 
     Generalizes :func:`make_parallel_round`'s training half for the product
     path (fed/parallel_driver.py): supports MORE stacked clients than client-
-    axis shards (the extra clients vmap inside each shard — on a single chip
-    this widens the effective batch) and RAGGED per-client batch streams via a
-    padded scan with an ``n_steps`` mask (padded steps leave parameters,
-    optimizer state and metrics untouched).
+    axis shards (extra co-located clients SCAN sequentially inside their
+    shard, keeping each step at the throughput-optimal per-client batch —
+    see the in-body measurement note) and RAGGED per-client batch streams
+    via a padded scan with an ``n_steps`` mask (padded steps leave
+    parameters, optimizer state and metrics untouched).
 
     ``local_step(trainable, opt_state, frozen, batch) -> (trainable, opt_state,
     metrics)`` runs one client's update for one batch.  Returns

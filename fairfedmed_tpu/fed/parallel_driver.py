@@ -36,6 +36,7 @@ Documented semantic deltas vs the sequential host loop (both intentional):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -105,6 +106,12 @@ class ParallelRoundRunner:
         self._train_fns = {}
         self._data_cache = {}  # client idx -> device-resident decoded arrays
         self._eval_cache = {}
+        # ONE budget across every client's train+eval cache (not per set):
+        # 50-user runs would otherwise device_put ~50 x 300 MB of images and
+        # OOM a 16 GB chip mid-run; over-budget sets degrade to host streaming
+        self._cache_budget = int(os.environ.get(
+            "FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
+        self._cached_bytes = 0
         self._agg_fns = {}
         self._saved_steps = set()  # round checkpoints THIS run wrote
         # persistent state lives replicated over ALL devices; a round whose
@@ -180,30 +187,39 @@ class ParallelRoundRunner:
         if self._attr_col is not None:
             cache["attr"] = jax.device_put(
                 attrs[:, self._attr_col].astype(np.int32))
+        self._cached_bytes += imgs.nbytes
         self._data_cache[idx] = cache
         return cache
 
-    @staticmethod
-    def _decode_loader(loader):
+    def _decode_loader(self, loader):
         """Decode a ClientLoader's full dataset in index order, or None when
         the loader can't be cached: a host transform (per-epoch images
         differ), a structured sampler (iteration order isn't index order), a
-        dataset without the load_item protocol, or a set over the cache cap
-        (FAIRFEDMED_DEVICE_CACHE_BYTES, default 4 GiB).  Shared by the train
-        and eval caches so the guards can't drift apart."""
-        import os
-
+        dataset without the load_item protocol, an empty set, or a set that
+        would push the FLEET-WIDE cache total (train + eval, every client)
+        over FAIRFEDMED_DEVICE_CACHE_BYTES (default 4 GiB).  Shared by the
+        train and eval caches so the guards can't drift apart."""
         ds = loader.dataset
         if (loader.transform is not None or loader.sampler is not None
                 or not hasattr(ds, "load_item")):
             return None
         n = len(ds)
+        if n == 0:
+            # empty train set: nothing to cache (and no shapes to build a
+            # cache from) — the host batch path masks such a client to zero
+            # scan steps, matching the sequential loop's zero batches
+            return None
+        budget_left = self._cache_budget - self._cached_bytes
+        # estimate from ONE item before decoding the whole set — an over-
+        # budget client should not cost a multi-GiB decode just to be refused
+        first = ds.load_item(0)
+        if np.asarray(first[0], np.float32).nbytes * n > budget_left:
+            return None
         if hasattr(ds, "prefetch"):
-            ds.prefetch(range(n))
-        items = [ds.load_item(i) for i in range(n)]
+            ds.prefetch(range(1, n))
+        items = [first] + [ds.load_item(i) for i in range(1, n)]
         imgs = np.stack([it[0] for it in items]).astype(np.float32)
-        cap = int(os.environ.get("FAIRFEDMED_DEVICE_CACHE_BYTES", 4 << 30))
-        if imgs.nbytes > cap:
+        if imgs.nbytes > budget_left:
             return None
         labels = np.asarray([it[1] for it in items], np.int32)
         attrs = (np.stack([it[2] for it in items]).astype(np.int32)
@@ -269,13 +285,25 @@ class ParallelRoundRunner:
             n_steps.append(len(per["img"]))
             streams.append(per)
         S = max(n_steps)
+        if S == 0:
+            # the sequential loop would train zero batches for every client;
+            # there is no shape to build even a masked batch stream from
+            raise ValueError(
+                "every selected client has an empty train set "
+                f"(clients {list(idxs_users)})")
+        # a client with an EMPTY train set contributes zero scan steps (the
+        # n_steps mask skips them all, like the sequential loop's zero
+        # batches); its stream is zero filler shaped like a non-empty peer's
+        template = next(p for p, n in zip(streams, n_steps) if n > 0)
         out = {}
         for key in ("img", "label", "attr"):
-            if not streams[0][key]:
+            if not template[key]:
                 continue
             rows = []
             for per in streams:
-                stream = np.stack(per[key])
+                stream = (np.stack(per[key]) if per[key] else
+                          np.zeros((1,) + template[key][0].shape,
+                                   template[key][0].dtype))
                 if stream.shape[0] < S:  # pad steps (masked by n_steps)
                     pad = np.repeat(stream[:1], S - stream.shape[0], axis=0)
                     stream = np.concatenate([stream, pad], axis=0)
@@ -544,6 +572,10 @@ class ParallelRoundRunner:
             avg = _unflatten_like(global_t,
                                   {k: wmean(k, v) for k, v in flat.items()})
             if shared_half_s:
+                # NOT fed.parallel.apply_shared_half_s: its map_with_path
+                # rebuilds RN trees with lists coerced to other containers,
+                # breaking the tree_map against global_t below — aggregation
+                # rebuilds must go flatten_paths -> unflatten_like (CLAUDE.md)
                 def half_s(path, x):
                     if "lora_S" in path and x.ndim >= 2 and x.shape[-2] == G:
                         r = x.shape[-1]
@@ -633,6 +665,7 @@ class ParallelRoundRunner:
             self._eval_cache[idx] = None
             return None
         imgs, labels, attrs = decoded
+        self._cached_bytes += imgs.nbytes
         cache = {
             "img": jax.device_put(imgs),
             "label": labels,

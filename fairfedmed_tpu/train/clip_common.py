@@ -151,7 +151,8 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def fairness_confidence_loss(logits, labels, attr, num_groups: int,
-                             differentiable: bool = False) -> jnp.ndarray:
+                             differentiable: bool = False,
+                             axis_name=None) -> jnp.ndarray:
     """Confidence-gap fairness regulariser (GLP_OT_SVLoRA.py:908-948).
 
     Per group g: c_g = 1 − mean_{i∈g} p_i[y_i]; loss = mean_g |c_g − mean(c)|.
@@ -159,18 +160,36 @@ def fairness_confidence_loss(logits, labels, attr, num_groups: int,
     which DETACHES it — the regulariser contributes no gradient (quirk noted
     in SURVEY §2.4).  ``differentiable=False`` reproduces that; True enables
     the intended gradient.
+
+    ``axis_name`` names a mesh axis the batch is sharded over (within-client
+    data parallelism).  The group means are NONLINEAR in the batch partition
+    — a per-shard loss pmean-ed over shards is NOT the full-batch loss (a
+    shard containing one group has gap 0 regardless of the other shards) —
+    so the per-group sums/counts are psum-ed over the axis before forming
+    the gaps, making every shard compute the sequential full-batch value.
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     correct = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
     one_hot = jax.nn.one_hot(attr, num_groups, dtype=jnp.float32)  # [B, G]
     count = one_hot.sum(0)  # [G]
+    sum_conf = (one_hot * correct[:, None]).sum(0)  # [G]
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+        sum_conf = jax.lax.psum(sum_conf, axis_name)
     present = count > 0
-    conf = 1.0 - (one_hot * correct[:, None]).sum(0) / jnp.maximum(count, 1.0)
+    conf = 1.0 - sum_conf / jnp.maximum(count, 1.0)
     mean_conf = jnp.sum(jnp.where(present, conf, 0.0)) / jnp.maximum(present.sum(), 1)
     gaps = jnp.where(present, jnp.abs(conf - mean_conf), 0.0)
     loss = jnp.sum(gaps) / jnp.maximum(present.sum(), 1)
     if not differentiable:
         loss = jax.lax.stop_gradient(loss)
+    # differentiable + axis_name needs NO extra scaling under the product's
+    # shard_map(check_vma=False): psum transposes to psum, so each shard's
+    # backward sees the cross-shard cotangent sum (n_shards x the global
+    # sensitivity for this replicated loss) through only its own samples,
+    # and the caller's pmean over the axis lands on exactly the full-batch
+    # gradient — verified numerically against the unsharded oracle (loss and
+    # grad both exact; under check_vma=True semantics the scaling differs).
     return loss
 
 

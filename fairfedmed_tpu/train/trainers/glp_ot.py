@@ -18,9 +18,6 @@ steps).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -358,7 +355,7 @@ class GLPOTBase(TrainerX):
         return logits, valid, new_stats
 
     # ------------------------------------------------------------- steps
-    def _build_loss_fn(self):
+    def _build_loss_fn(self, data_axis=None):
         cfg = self.cfg
         lam = cfg.TRAINER.LAMBDA_FAIRNESS if self.use_lora else 0.0
         has_attr = not self.disable_attr
@@ -373,9 +370,12 @@ class GLPOTBase(TrainerX):
             cls_loss = cross_entropy(logits, label)
             loss = cls_loss
             if has_attr and lam != 0.0:
+                # data_axis: group sums/counts psum over the shard axis —
+                # the per-group means are nonlinear in the batch partition,
+                # so a per-shard loss would NOT pmean to the full-batch value
                 loss = loss + lam * fairness_confidence_loss(
                     logits, label, attr, self.num_groups,
-                    differentiable=diff_fair)
+                    differentiable=diff_fair, axis_name=data_axis)
             if ctx_global is not None:
                 # FedProx proximal term (promptfl.py:290-293). The reference
                 # builds it from detached state_dict() tensors, so it raises
@@ -415,7 +415,7 @@ class GLPOTBase(TrainerX):
             # oracle; the runner builds (clients, 1) meshes for RN instead
             raise NotImplementedError(
                 "RN parallel rounds do not shard the within-client batch")
-        loss_fn = self._build_loss_fn()
+        loss_fn = self._build_loss_fn(data_axis=data_axis)
         tx = self.tx
         n_opt = self.opt_steps_per_batch
         has_stats = self.backbone_type == "resnet"

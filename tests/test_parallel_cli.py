@@ -118,6 +118,35 @@ def test_parallel_matches_sequential_local(fairfedmed_root, tmp_path):
                 err_msg=f"client {idx} key {k}")
 
 
+def test_parallel_matches_sequential_differentiable_fairness(fairfedmed_root,
+                                                             tmp_path):
+    """Group-fairness regulariser under within-client data sharding: the
+    (2 clients × 4 data) CPU mesh splits each batch-4 step into 1-sample
+    shards, where a per-shard fairness loss is identically zero (one group
+    per shard has gap 0).  The psum-ed group sums/counts must reproduce the
+    sequential full-batch loss and — with DIFFERENTIABLE_FAIRNESS — its
+    gradient, so final states must match the host loop (regression for the
+    pmean-of-a-nonlinear-loss bug)."""
+    def mk(outdir, par):
+        a = _fairlora_args(fairfedmed_root, outdir, par)
+        a.lambda_fairness = 0.5
+        a.differentiable_fairness = True
+        return a
+
+    out_seq = federated_main.main(mk(str(tmp_path / "seq"), False))
+    out_par = federated_main.main(mk(str(tmp_path / "par"), True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
+
+
 def test_parallel_group_width_fallback(tmp_path):
     """Observed demographic groups narrower than the model's group table
     (here race ∈ {0,1} vs the 3-row FairFedMed table): the reference's
@@ -170,6 +199,37 @@ def test_parallel_group_zero_count_padding(tmp_path):
     # width (3) matches the model's group table and group weighting applies
     site2_train_races = [int(np.load(p)["race"]) for p in files[14:22]]
     assert max(site2_train_races) == 2, site2_train_races
+
+    out_seq = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "seq"), parallel=False))
+    out_par = federated_main.main(
+        _fairlora_args(str(root), str(tmp_path / "par"), parallel=True))
+
+    np.testing.assert_allclose(out_par["acc"], out_seq["acc"], atol=1e-6)
+    np.testing.assert_allclose(out_par["auc"], out_seq["auc"], atol=1e-6)
+    for idx in range(2):
+        seq = np.load(str(tmp_path / "seq" / f"global_client{idx}_final.npz"))
+        par = np.load(str(tmp_path / "par" / f"global_client{idx}_final.npz"))
+        for k in seq.files:
+            np.testing.assert_allclose(
+                par[k], seq[k], rtol=1e-4, atol=1e-5,
+                err_msg=f"client {idx} key {k}")
+
+
+def test_parallel_empty_client_trains_zero_batches(tmp_path):
+    """A selected client whose train split is EMPTY: the sequential loop
+    trains zero batches for it (its loader yields nothing) and it enters
+    aggregation with weight 0.  The mesh path must mask it to zero scan
+    steps — not gather from a zero-row cache or crash padding an empty
+    stream — and reproduce the sequential metrics and states."""
+    import pandas as pd
+
+    root = tmp_path / "data"
+    base = make_fairfedmed_fixture(
+        str(root), n_sites=2, n_train=8, n_test=6, size=32)
+    for attr in ("gender", "race", "ethnicity", "language", "maritalstatus"):
+        pd.DataFrame({"filename": []}).to_csv(
+            f"{base}/meta_site2_{attr}_train.csv", index=False)
 
     out_seq = federated_main.main(
         _fairlora_args(str(root), str(tmp_path / "seq"), parallel=False))
