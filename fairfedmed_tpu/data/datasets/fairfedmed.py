@@ -33,6 +33,18 @@ def _resize2d(img: np.ndarray, res: int) -> np.ndarray:
     return cv2.resize(img.astype(np.float32), (res, res), interpolation=cv2.INTER_LINEAR)
 
 
+def group_histogram(vals: np.ndarray) -> List[int]:
+    """Group-size histogram over [0..max seen group id], ignoring -1/unknown
+    (reference data_manager.py:443-460 semantics).  The OBSERVATION-dependent
+    width is load-bearing: federated_main zero-pads ragged per-client widths
+    and fed/parallel_driver's group-weight shape guard keys off it — shared
+    here so the medical datasets can't drift apart."""
+    vals = np.asarray(vals)
+    if vals.size == 0:
+        return []
+    return np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1).tolist()
+
+
 class FairFedMedDataset:
     """One site's split; lazily decodes NPZs, eagerly indexes metadata."""
 
@@ -50,6 +62,13 @@ class FairFedMedDataset:
     ):
         self.base_path = base_path
         self.data_path = os.path.join(base_path, "all")
+        if modality_type not in self._MODALITY_MEMBERS:
+            # fail fast like the reference (data_utils.py:608-609 raises
+            # NotImplementedError): the presence filter below would
+            # otherwise silently produce an EMPTY dataset for a typo
+            raise NotImplementedError(
+                f"unknown modality_type {modality_type!r}; one of "
+                f"{sorted(self._MODALITY_MEMBERS)}")
         self.modality_type = modality_type
         self.attribute_type = attribute_type
         self.attributes = list(attributes or [])
@@ -103,10 +122,20 @@ class FairFedMedDataset:
             cached_keys = set(cached.get("__attr_keys__", []))
             entries = {k: v for k, v in cached.items() if k != "__attr_keys__"}
             if set(filenames).issubset(entries) and keys.issubset(cached_keys):
-                return entries
+                # entries must also match the NPZs on disk — a re-downloaded
+                # or regenerated dataset under the SAME filenames would
+                # otherwise silently serve stale labels/attrs forever
+                fresh = all(
+                    abs(entries[f].get("mtime", -1.0)
+                        - os.path.getmtime(os.path.join(self.data_path, f)))
+                    < 1e-6
+                    for f in filenames)
+                if fresh:
+                    return entries
         index = {}
         for fname in filenames:
-            raw = np.load(os.path.join(self.data_path, fname), allow_pickle=True)
+            path = os.path.join(self.data_path, fname)
+            raw = np.load(path, allow_pickle=True)
             attrs = {k: int(raw[k]) for k in keys if k in raw}
             modalities = {}
             for mk in ("slo_fundus", "oct_bscans", "rnflt", "ilm", "clockhours"):
@@ -115,6 +144,7 @@ class FairFedMedDataset:
                 "attrs": attrs,
                 "modalities": modalities,
                 "label": int(float(raw["glaucoma"])) if "glaucoma" in raw.files else 0,
+                "mtime": os.path.getmtime(path),
             }
         if use_cache:
             # atomic publish (tmp + rename): a writer killed mid-dump (bench
@@ -147,10 +177,7 @@ class FairFedMedDataset:
         col = self.attributes.index(attr) if attr in self.attributes else None
         vals = (self.attrs_matrix[:, col] if col is not None
                 else np.asarray(self.data_attrs, np.int32))
-        if vals.size == 0:
-            return []
-        counts = np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1)
-        return counts.tolist()
+        return group_histogram(vals)
 
     # members each modality needs from the NPZ
     _MODALITY_MEMBERS = {

@@ -61,12 +61,9 @@ class FedChexMimicDataset:
         return self.data_attributes
 
     def count_by_attribute(self, attr: str) -> List[int]:
-        col = self.attributes.index(attr)
-        vals = self.data_attributes[:, col]
-        if vals.size == 0:
-            return []
-        counts = np.bincount(vals[vals >= 0], minlength=int(vals.max()) + 1)
-        return counts.tolist()
+        from .fairfedmed import group_histogram
+
+        return group_histogram(self.data_attributes[:, self.attributes.index(attr)])
 
     _pool = None  # shared native prefetch pool (lazy), like FairFedMedDataset
 

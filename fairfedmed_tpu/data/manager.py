@@ -132,13 +132,18 @@ class DataManager:
             # structured samplers need Datum lists (ImageListSplit.items);
             # Random/Sequential fall through to the built-in index paths
             stype = cfg.DATALOADER.TRAIN_X.SAMPLER
-            if stype not in ("RandomSampler", "SequentialSampler") and hasattr(client_ds, "items"):
-                from .samplers import build_sampler
-                sampler = build_sampler(
-                    stype, cfg, data_source=client_ds.items,
-                    batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-                    n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
-                    n_ins=cfg.DATALOADER.TRAIN_X.N_INS)
+            if stype not in ("RandomSampler", "SequentialSampler"):
+                if hasattr(client_ds, "items"):
+                    from .samplers import build_sampler
+                    sampler = build_sampler(
+                        stype, cfg, data_source=client_ds.items,
+                        batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                        n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
+                        n_ins=cfg.DATALOADER.TRAIN_X.N_INS)
+                elif idx == 0:  # warn once, not per client
+                    print(f"WARNING: sampler {stype!r} requires a Datum-list "
+                          f"dataset (.items); {type(client_ds).__name__} has "
+                          "none — falling back to random shuffling")
             self.fed_train_loader_x_dict[idx] = ClientLoader(
                 client_ds,
                 batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,

@@ -49,7 +49,13 @@ class Classification:
     def process(self, mo, gt, attr=None):
         mo = np.asarray(mo, np.float32)
         gt = np.asarray(gt)
-        pred = mo.argmax(-1)
+        if mo.shape == gt.shape:
+            # binary sigmoid outputs [B]: threshold, don't argmax — argmax
+            # over a 1-D batch collapses it to ONE index (same guard as
+            # Classification_oph.process; the reference's mo.max(1) crashes)
+            pred = (mo >= 0.5).astype(gt.dtype)
+        else:
+            pred = mo.argmax(-1)
         matches = (pred == gt).astype(np.int64)
         self._correct += int(matches.sum())
         self._total += int(gt.shape[0])
@@ -61,6 +67,11 @@ class Classification:
 
     def evaluate(self):
         results = OrderedDict()
+        if self._total == 0:
+            # a fully filtered-out test split: sklearn f1_score raises on
+            # empty input (the reference crashes here); report zeros instead
+            print("=> result\n* total: 0 (empty test set — zeroed metrics)")
+            return OrderedDict(accuracy=0.0, error_rate=100.0, macro_f1=0.0)
         acc = 100.0 * self._correct / max(self._total, 1)
         err = 100.0 - acc
         macro_f1 = 100.0 * M.macro_f1_score(self._y_true, self._y_pred)
@@ -128,6 +139,14 @@ class Classification_oph:
 
     def evaluate(self):
         results = OrderedDict()
+        if self._total == 0:
+            # empty client test set: the downstream concatenate/f1/AUC all
+            # raise on empty input (as does the reference); zeroed metrics
+            # keep the positional [accuracy, error_rate, macro_f1, auc, ...]
+            # contract the FL server consumes
+            print("=> result\n* total: 0 (empty test set — zeroed metrics)")
+            return OrderedDict(accuracy=0.0, error_rate=100.0, macro_f1=0.0,
+                               auc=0.0)
         acc = 100.0 * self._correct / max(self._total, 1)
         err = 100.0 - acc
         macro_f1 = 100.0 * M.macro_f1_score(self._y_true, self._y_pred)

@@ -218,22 +218,35 @@ def equity_scaled_accuracy(output, target, attrs, alpha: float = 1.0) -> float:
     return float(overall / (alpha * gap + 1))
 
 
-def equity_scaled_AUC(output, target, attrs, alpha: float = 1.0, num_classes: int = 2) -> float:
+def equity_scaled_AUC(output, target, attrs, alpha: float = 1.0,
+                      num_classes: int = 2, overall_auc=None,
+                      group_aucs=None) -> float:
     """overall_auc / (1 + Σ_g |auc_g − overall_auc|), skipping group −1
-    (metrics.py:513-547)."""
+    (metrics.py:513-547).
+
+    ``overall_auc``/``group_aucs`` accept precomputed values — the
+    comprehensive block computes the identical quantities, so passing them
+    avoids ~(G+1) redundant rank-AUC passes per attribute per evaluation.
+    Semantics are unchanged (same group enumeration, same nan propagation)."""
     output, target, attrs = _np(output), _np(target), _np(attrs)
-    overall = compute_auc(output, target, num_classes=num_classes)
-    gap = 0.0
-    for g in np.unique(attrs).astype(int):
-        if g == -1:
-            continue
-        m = attrs == g
-        gap += abs(compute_auc(output[m], target[m], num_classes=num_classes) - overall)
+    overall = (compute_auc(output, target, num_classes=num_classes)
+               if overall_auc is None else overall_auc)
+    if group_aucs is None:
+        group_aucs = [
+            compute_auc(output[attrs == g], target[attrs == g],
+                        num_classes=num_classes)
+            for g in np.unique(attrs).astype(int) if g != -1]
+    gap = float(sum(abs(a - overall) for a in group_aucs))
     return float(overall / (alpha * gap + 1))
 
 
 def compute_between_group_disparity(auc_list, overall_auc):
     auc_list = _np(auc_list)
+    if auc_list.size == 0:
+        # an attribute column with no valid (> -1) group: the reference
+        # crashes on np.max([]) here (metrics.py:549-550) — report nan
+        # instead so one absent attribute can't kill the whole evaluation
+        return (float("nan"), float("nan"))
     return (
         float(np.std(auc_list) / overall_auc),
         float((np.max(auc_list) - np.min(auc_list)) / overall_auc),
@@ -261,7 +274,6 @@ def evalute_comprehensive_perf_scores(preds, gts, attrs=None, num_classes: int =
     for i in range(attrs.shape[0]):
         attr = attrs[i]
         esaccs.append(equity_scaled_accuracy(preds, gts, attr))
-        esaucs.append(equity_scaled_AUC(preds, gts, attr, num_classes=num_classes))
 
         aucs_by_group = []
         for g in np.unique(attr).astype(int):
@@ -269,6 +281,11 @@ def evalute_comprehensive_perf_scores(preds, gts, attrs=None, num_classes: int =
                 continue
             m = attr == g
             aucs_by_group.append(compute_auc(preds[m], gts[m], num_classes=num_classes))
+        # feed the already-computed overall/group AUCs into the equity scale
+        # (identical enumeration) instead of recomputing every rank pass
+        esaucs.append(equity_scaled_AUC(
+            preds, gts, attr, num_classes=num_classes,
+            overall_auc=overall_auc, group_aucs=aucs_by_group))
         aucs_by_attrs.append(np.array(aucs_by_group))
         bgd.append(list(compute_between_group_disparity(aucs_by_group, overall_auc)))
 

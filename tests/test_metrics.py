@@ -53,6 +53,34 @@ def test_es_auc_skips_unknown_group(binary_case):
     assert 0 <= es <= 1
 
 
+def test_es_auc_precomputed_matches_recomputed(binary_case):
+    probs, gts, attr = binary_case
+    base = M.equity_scaled_AUC(probs, gts, attr)
+    overall = M.compute_auc(probs, gts)
+    groups = [M.compute_auc(probs[attr == g], gts[attr == g])
+              for g in np.unique(attr) if g != -1]
+    fast = M.equity_scaled_AUC(probs, gts, attr,
+                               overall_auc=overall, group_aucs=groups)
+    np.testing.assert_allclose(fast, base, rtol=1e-12)
+
+
+def test_between_group_disparity_empty_groups_is_nan():
+    # reference crashes on np.max([]) here; we report nan instead
+    d = M.compute_between_group_disparity([], 0.7)
+    assert np.isnan(d[0]) and np.isnan(d[1])
+
+
+def test_comprehensive_block_tolerates_all_unknown_attr(binary_case):
+    """An attribute column that is -1 everywhere (key absent from the NPZs)
+    must not crash the whole evaluation — its disparity is nan."""
+    probs, gts, attr = binary_case
+    attrs = np.stack([attr, np.full_like(attr, -1)])
+    out = M.evalute_comprehensive_perf_scores(probs, gts, attrs)
+    bgd = out[8]
+    assert np.isfinite(np.asarray(bgd[0], np.float64)).all()
+    assert np.isnan(np.asarray(bgd[1], np.float64)).all()
+
+
 def test_comprehensive_block_shapes(binary_case):
     probs, gts, attr = binary_case
     attrs = np.stack([attr, (attr + 1) % 2])

@@ -146,6 +146,43 @@ def test_fairfedmed_torn_index_cache_rebuilds(tmp_path):
     assert not glob.glob(str(tmp_path / "fairfedmed" / "*.tmp"))
 
 
+def test_fairfedmed_index_cache_rebuilds_on_npz_change(tmp_path):
+    """Regenerated NPZs under the SAME filenames (re-downloaded dataset,
+    corrected labels) must invalidate the metadata index cache: entries
+    carry the NPZ mtime and a mismatch triggers a rebuild."""
+    import glob
+    import os
+
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    make_fairfedmed_fixture(str(tmp_path), n_sites=1, n_train=6, n_test=4, size=24)
+    kw = dict(base_path=str(tmp_path / "fairfedmed"), site=1,
+              attribute_type="race", attributes=["gender", "race"],
+              modality_type="slo_fundus", resolution=24, train=True)
+    ds = FairFedMedDataset(**kw)
+    target = os.path.join(str(tmp_path / "fairfedmed"), "all", ds.data_files[0])
+    raw = dict(np.load(target, allow_pickle=True))
+    raw["glaucoma"] = np.asarray(1 - int(raw["glaucoma"]))
+    np.savez(target, **raw)
+    os.utime(target, (os.path.getmtime(target) + 5,) * 2)
+    ds2 = FairFedMedDataset(**kw)
+    assert int(ds2.labels[0]) == 1 - int(ds.labels[0])
+
+
+def test_fairfedmed_unknown_modality_raises():
+    """Fail fast like the reference (data_utils.py:608-609) instead of
+    silently filtering every row out."""
+    import pytest
+
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    with pytest.raises(NotImplementedError, match="slo_fundos"):
+        FairFedMedDataset(
+            base_path="/nonexistent", site=1, attribute_type="race",
+            attributes=["race"], modality_type="slo_fundos")
+
+
 def test_fairfedmed_prefetch_path(tmp_path):
     from tests.fixtures import make_fairfedmed_fixture
     from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
