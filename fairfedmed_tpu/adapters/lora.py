@@ -51,6 +51,14 @@ def _s_init(rank: int, num_groups: int, init_type: str, dtype) -> jnp.ndarray:
         half = rank // 2
         base = jnp.linspace(0.5, 0.1, half, dtype=jnp.float32)
         step = half // num_groups
+        if step == 0:
+            # rank/2 < num_groups: roll(base, 0) for EVERY group — the
+            # per-group halves start identical and the fairness mechanism
+            # begins fully degenerate.  The reference has the same silent
+            # degeneracy (GLP_OT_SVLoRA.py:402-417), so warn, don't raise.
+            print(f"WARNING: FairLoRA 'same+cycle' S-init is degenerate at "
+                  f"rank {rank} with {num_groups} groups (rank/2 < groups): "
+                  "all groups start with identical singular values")
         cycled = jnp.stack([jnp.roll(base, -g * step) for g in range(num_groups)])
         s = jnp.concatenate([jnp.tile(base[None], (num_groups, 1)), cycled * 0.2], axis=1)
     return s.astype(dtype)
@@ -100,10 +108,7 @@ def group_mix(attr: Optional[jnp.ndarray], num_groups: int, batch: int, dtype) -
     if attr is None or num_groups == 1:
         return jnp.full((batch, num_groups), 1.0 / num_groups, dtype=dtype)
     one_hot = jax.nn.one_hot(attr, num_groups, dtype=dtype)
-    if num_groups > 1:
-        mix = one_hot * LAMBDA_GROUP + (1.0 - one_hot) * (1.0 - LAMBDA_GROUP) / (num_groups - 1)
-    else:
-        mix = one_hot
+    mix = one_hot * LAMBDA_GROUP + (1.0 - one_hot) * (1.0 - LAMBDA_GROUP) / (num_groups - 1)
     return jax.lax.stop_gradient(mix)
 
 

@@ -389,31 +389,35 @@ def _init_blocks(rng, layers, width, attn_std, fc_std, proj_std):
 
 def init_clip_params(rng: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
     """Random CLIP init (used when no OpenAI checkpoint is supplied)."""
-    kv, kt, ke, kp = jax.random.split(rng, 4)
+    # one key PER tensor: with threefry, normal(key, shape) depends only on
+    # (key, flat index), so reusing a key makes distinct tensors literal
+    # prefixes of each other's draws — pathologically correlated random init
+    (k_cls, k_posv, k_conv, k_blkv, k_projv,
+     k_tok, k_post, k_blkt, k_tproj) = jax.random.split(rng, 9)
     vw, tw = cfg.vision_width, cfg.transformer_width
     n_tokens = cfg.grid_size ** 2 + 1
 
     visual = {
-        "class_embedding": jax.random.normal(kv, (vw,)) * vw ** -0.5,
-        "positional_embedding": jax.random.normal(kp, (n_tokens, vw)) * vw ** -0.5,
-        "conv1": {"weight": jax.random.normal(kv, (vw, 3, cfg.vision_patch_size, cfg.vision_patch_size)) * vw ** -0.5},
+        "class_embedding": jax.random.normal(k_cls, (vw,)) * vw ** -0.5,
+        "positional_embedding": jax.random.normal(k_posv, (n_tokens, vw)) * vw ** -0.5,
+        "conv1": {"weight": jax.random.normal(k_conv, (vw, 3, cfg.vision_patch_size, cfg.vision_patch_size)) * vw ** -0.5},
         "ln_pre": _ln_init(vw),
-        "blocks": _init_blocks(kv, cfg.vision_layers, vw,
+        "blocks": _init_blocks(k_blkv, cfg.vision_layers, vw,
                                attn_std=vw ** -0.5,
                                fc_std=(2 * vw) ** -0.5,
                                proj_std=(vw ** -0.5) * ((2 * cfg.vision_layers) ** -0.5)),
         "ln_post": _ln_init(vw),
-        "proj": jax.random.normal(kv, (vw, cfg.embed_dim)) * vw ** -0.5,
+        "proj": jax.random.normal(k_projv, (vw, cfg.embed_dim)) * vw ** -0.5,
     }
     text = {
-        "token_embedding": jax.random.normal(ke, (cfg.vocab_size, tw)) * 0.02,
-        "positional_embedding": jax.random.normal(kt, (cfg.context_length, tw)) * 0.01,
-        "blocks": _init_blocks(kt, cfg.transformer_layers, tw,
+        "token_embedding": jax.random.normal(k_tok, (cfg.vocab_size, tw)) * 0.02,
+        "positional_embedding": jax.random.normal(k_post, (cfg.context_length, tw)) * 0.01,
+        "blocks": _init_blocks(k_blkt, cfg.transformer_layers, tw,
                                attn_std=tw ** -0.5,
                                fc_std=(2 * tw) ** -0.5,
                                proj_std=(tw ** -0.5) * ((2 * cfg.transformer_layers) ** -0.5)),
         "ln_final": _ln_init(tw),
-        "text_projection": jax.random.normal(kt, (tw, cfg.embed_dim)) * tw ** -0.5,
+        "text_projection": jax.random.normal(k_tproj, (tw, cfg.embed_dim)) * tw ** -0.5,
     }
     params = {
         "visual": visual,

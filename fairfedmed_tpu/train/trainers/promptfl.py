@@ -285,21 +285,31 @@ class Baseline(TrainerX):
             print(f"NOTE: pretrained {name} weights unavailable offline; "
                   f"using random init")
         bb_init, bb_apply, fdim = build_backbone(name)
-        bb_params, bb_stats = bb_init(kb)
-        trainable = {"backbone": bb_params}
-        stats = {"backbone": bb_stats}
         head_apply = None
+        head_init = None
         if cfg.MODEL.HEAD.NAME and cfg.MODEL.HEAD.HIDDEN_LAYERS:
-            h_init, head_apply, fdim = build_head(
+            head_init, head_apply, fdim = build_head(
                 cfg.MODEL.HEAD.NAME, fdim, cfg.MODEL.HEAD.HIDDEN_LAYERS,
                 activation=cfg.MODEL.HEAD.ACTIVATION, bn=cfg.MODEL.HEAD.BN,
                 dropout=cfg.MODEL.HEAD.DROPOUT)
-            trainable["head"], stats["head"] = h_init(kh)
-        trainable["classifier"] = {
-            "weight": jax.random.normal(kc, (self.n_cls, fdim)) * 0.01,
-            "bias": jnp.zeros((self.n_cls,)),
-        }
-        self.trainable, self.stats = trainable, stats
+        n_cls = self.n_cls
+
+        # ONE jitted init program (CLAUDE.md rule): eager per-leaf init costs
+        # one tunnel round-trip per parameter on a remote-TPU attachment
+        @jax.jit
+        def _init_all(kb, kh, kc):
+            bb_params, bb_stats = bb_init(kb)
+            trainable = {"backbone": bb_params}
+            stats = {"backbone": bb_stats}
+            if head_init is not None:
+                trainable["head"], stats["head"] = head_init(kh)
+            trainable["classifier"] = {
+                "weight": jax.random.normal(kc, (n_cls, fdim)) * 0.01,
+                "bias": jnp.zeros((n_cls,)),
+            }
+            return trainable, stats
+
+        self.trainable, self.stats = _init_all(kb, kh, kc)
         self.frozen = {}
         self.fdim = fdim
         self.tx = build_optimizer(cfg.OPTIM)

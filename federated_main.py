@@ -32,6 +32,10 @@ def extend_cfg(cfg, args):
     cfg.TRAINER.PROMPTFL.CTX_INIT = args.ctx_init
     cfg.TRAINER.PROMPTFL.PREC = "fp16"
     cfg.TRAINER.PROMPTFL.CLASS_TOKEN_POSITION = "end"
+    # re-declare: the fresh CN() above (reference structure) would otherwise
+    # DROP this default from config.py:323 and make the documented opt-out
+    # unreachable from --opts / config files (merge rejects unknown keys)
+    cfg.TRAINER.PROMPTFL.NORMALIZE_MEDICAL_INPUT = False
 
     cfg.TRAINER.GLP_OT = CN()
     cfg.TRAINER.GLP_OT.N_CTX = args.n_ctx
@@ -163,9 +167,10 @@ def main(args):
 
     local_trainer = build_trainer(cfg)
     local_trainer.fed_before_train()
-    count_parameters(local_trainer.named_parameters(), "prompt_learner")
-    count_parameters(local_trainer.named_parameters(), "image_encoder")
-    count_parameters(local_trainer.named_parameters(), "text_encoder")
+    named = local_trainer.named_parameters()  # flatten the full tree ONCE
+    count_parameters(named, "prompt_learner")
+    count_parameters(named, "image_encoder")
+    count_parameters(named, "text_encoder")
 
     datanumber_client = []
     datanumber_client_by_attr = [] if not cfg.TRAINER.GLP_OT_LORA.DISABLE_ATTR else None
@@ -480,8 +485,14 @@ def main(args):
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
                 for idx in all_users:
                     local_weights_per[idx] = copy.deepcopy(global_weights)
-                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                    # a client never trained (restricted --idxs_users_train)
+                    # has no local rows yet: keep the global ones.  The
+                    # reference crashes here (slice-assigning the initial []
+                    # at federated_main.py:527-528, a gate its FedOTPLoRA
+                    # branch :644 does have); this is the crash-free analogue.
+                    if len(local_weights_0[idx]) > 0:
+                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S and local_weights_1[idx]:
                         for k, v in local_weights_1[idx].items():
                             local_weights_per[idx][k] = v
                 for idx in all_users:
@@ -604,6 +615,23 @@ def _int_list(value):
     return [int(v) for v in str(value).split(",") if v.strip() != ""]
 
 
+def _str2bool(v):
+    """Boolean flag parser: the reference's ``type=_str2bool`` treats ANY
+    non-empty string as True, so ``--unfreeze_image_encoder False`` silently
+    ENABLED the feature (bool('False') is True) — a completely different
+    run.  Accepts the reference scripts' 'True'/'False' spellings."""
+    if isinstance(v, bool):
+        return v
+    low = str(v).strip().lower()
+    if low in ("true", "1", "yes"):
+        return True
+    if low in ("false", "0", "no", ""):
+        return False
+    import argparse as _ap
+
+    raise _ap.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_arg_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="FedOTP", help="aggregation model: FedOTP, fedavg, fedprox, FedOTPLoRA, FedOTPLinearFT, local")
@@ -619,20 +647,20 @@ def build_arg_parser():
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--mu", type=float, default=0.5, help="fedprox mu")
     parser.add_argument("--disease_type", type=str, default="heart.attack")
-    parser.add_argument("--iid", default=False)
+    parser.add_argument("--iid", type=_str2bool, default=False)
     parser.add_argument("--num_shots", type=int, default=2)
-    parser.add_argument("--useall", default=False)
+    parser.add_argument("--useall", type=_str2bool, default=False)
     parser.add_argument("--partition", type=str, default="noniid-labeldir100")
     parser.add_argument("--beta", type=float, default=0.1)
-    parser.add_argument("--imbalance_train", default=False)
-    parser.add_argument("--split_client", default=False)
+    parser.add_argument("--imbalance_train", type=_str2bool, default=False)
+    parser.add_argument("--split_client", type=_str2bool, default=False)
     parser.add_argument("--num_domain", type=int, default=4)
     parser.add_argument("--attribute_type", type=str, default="race")
     parser.add_argument("--attributes", type=str, nargs="+",
                         default=["gender", "race", "ethnicity", "language", "maritalstatus"])
     parser.add_argument("--modality_type", type=str, default="slo_fundus")
     parser.add_argument("--dim_per_3d_slice", type=int, default=16)
-    parser.add_argument("--input_no_transform", type=bool, default=False)
+    parser.add_argument("--input_no_transform", type=_str2bool, default=False)
     parser.add_argument("--n_ctx", type=int, default=16)
     parser.add_argument("--num_prompt", type=int, default=2)
     parser.add_argument("--avg_prompt", type=int, default=1)
@@ -642,14 +670,14 @@ def build_arg_parser():
     parser.add_argument("--eps", type=float, default=0.1)
     parser.add_argument("--thresh", type=float, default=1e-3)
     parser.add_argument("--max_iter", type=int, default=100)
-    parser.add_argument("--unfreeze_image_encoder", type=bool, default=False)
-    parser.add_argument("--unfreeze_text_encoder", type=bool, default=False)
+    parser.add_argument("--unfreeze_image_encoder", type=_str2bool, default=False)
+    parser.add_argument("--unfreeze_text_encoder", type=_str2bool, default=False)
     parser.add_argument("--lora_rank", type=int, default=4)
     parser.add_argument("--lora_alpha", type=float, default=0.04)
     parser.add_argument("--lora_type", type=str, default="LoRA")
-    parser.add_argument("--lora_local_s", type=bool, default=False)
-    parser.add_argument("--shared_half_s", type=bool, default=False)
-    parser.add_argument("--lora_global_s", type=bool, default=False)
+    parser.add_argument("--lora_local_s", type=_str2bool, default=False)
+    parser.add_argument("--shared_half_s", type=_str2bool, default=False)
+    parser.add_argument("--lora_global_s", type=_str2bool, default=False)
     parser.add_argument("--lambda_fairness", type=float, default=0.0)
     parser.add_argument("--differentiable_fairness", action="store_true",
                         help="let the fairness regulariser contribute "

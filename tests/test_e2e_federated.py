@@ -107,6 +107,29 @@ def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
     assert np.isfinite(out["acc"][0])
 
 
+def test_fairfedmed_linearft_untrained_client(fairfedmed_root, tmp_path):
+    """Restricted --idxs_users_train: evaluated-but-never-trained clients have
+    no local prompt rows yet and must keep the global ones.  The reference
+    crashes slice-assigning the initial [] (federated_main.py:527-528 — a
+    gate its FedOTPLoRA branch has but LinearFT lacks)."""
+    args = _args(
+        model="FedOTPLinearFT", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "out4b"),
+        train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
+        avg_prompt=1, OT="None", backbone="test-vit",
+        attribute_type="race",
+        attributes=["gender", "race", "ethnicity", "language", "maritalstatus"],
+        modality_type="slo_fundus", unfreeze_image_encoder=True,
+        lora_rank=4, lora_alpha=2.0, lora_type="FairLoRA", lora_local_s=True,
+        idxs_users_train=[0],
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(32, 32)", "SEED", "1",
+              "TEST.EVALUATOR", "Classification_oph"],
+    )
+    out = federated_main.main(args)
+    assert np.isfinite(out["acc"][0])
+
+
 def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
     """3D OCT path: [128,H,W] -> [::4] 32 slices -> dim_per_3d_slice chunks ->
     proj to pseudo-RGB -> per-slice FairLoRA S repeat -> slice-mean logits
