@@ -60,12 +60,17 @@ def average_weights(
     datanumber_client: Sequence[int],
     datanumber_client_by_attr: Optional[Sequence[Sequence[int]]] = None,
     islist: bool = False,
+    _freqs_pair=None,
 ) -> dict:
     """FedAvg over the selected clients' flat weight dicts.
 
     ``islist=True`` averages bare arrays instead of dicts (the FedOTP global
-    prompt slice path, fed_utils.py:21-26)."""
-    freqs, freqs_by_attr = _freqs(idxs_users, datanumber_client, datanumber_client_by_attr)
+    prompt slice path, fed_utils.py:21-26).  ``_freqs_pair`` lets
+    average_weights_ema share its already-computed (freqs, freqs_by_attr) so
+    the two passes can never classify lora_S leaves differently."""
+    freqs, freqs_by_attr = (_freqs_pair if _freqs_pair is not None else
+                            _freqs(idxs_users, datanumber_client,
+                                   datanumber_client_by_attr))
     if islist:
         acc = np.zeros_like(np.asarray(w[idxs_users[0]], dtype=np.float32))
         for r in idxs_users:
@@ -110,8 +115,10 @@ def average_weights_ema(
     β_d = β·epoch/max(max_epoch, 1): decay grows with the round index, so early
     rounds take the fresh average and late rounds trust the global EMA.
     """
-    avg = average_weights(w, idxs_users, datanumber_client, datanumber_client_by_attr)
-    _, freqs_by_attr = _freqs(idxs_users, datanumber_client, datanumber_client_by_attr)
+    pair = _freqs(idxs_users, datanumber_client, datanumber_client_by_attr)
+    avg = average_weights(w, idxs_users, datanumber_client,
+                          datanumber_client_by_attr, _freqs_pair=pair)
+    freqs_by_attr = pair[1]
     beta_decay = beta * (epoch / max(max_epoch, 1))
     out = {}
     for key, a in avg.items():

@@ -57,12 +57,23 @@ def download_checkpoint(backbone_name: str, root: Optional[str] = None) -> str:
     if os.path.isfile(target):
         if sha256_of(target) == expected_sha:
             return target
-        raise RuntimeError(f"{target} exists but SHA256 does not match; delete and retry")
+        # partial/corrupt file (e.g. an interrupted urlretrieve leaves its
+        # target behind): warn and re-download like the reference
+        # (clip/clip.py:47-49) instead of wedging until a manual delete
+        import warnings
+
+        warnings.warn(f"{target} exists but SHA256 does not match; "
+                      "re-downloading")
+        os.remove(target)
     try:
         urllib.request.urlretrieve(url, target)
     except Exception as e:
+        # urlretrieve does not clean up its target on error
+        if os.path.isfile(target):
+            os.remove(target)
         raise RuntimeError(f"cannot download {url}: {e}") from e
     if sha256_of(target) != expected_sha:
+        os.remove(target)  # never leave a corrupt file to wedge the next call
         raise RuntimeError("Model has been downloaded but the SHA256 checksum does not match")
     return target
 
@@ -169,7 +180,7 @@ def convert_text_tower(sd: dict, dtype=np.float32) -> dict:
         "text": {
             "token_embedding": a("token_embedding.weight"),
             "positional_embedding": a("positional_embedding"),
-            "blocks": _stack_blocks(sd, "transformer", layers),
+            "blocks": _stack_blocks(sd, "transformer", layers, dtype),
             "ln_final": {"weight": a("ln_final.weight"), "bias": a("ln_final.bias")},
             "text_projection": a("text_projection"),
         },
@@ -177,9 +188,11 @@ def convert_text_tower(sd: dict, dtype=np.float32) -> dict:
     }
 
 
-def _stack_blocks(sd: dict, prefix: str, layers: int) -> dict:
+def _stack_blocks(sd: dict, prefix: str, layers: int, dtype=None) -> dict:
+    # dtype=None keeps the checkpoint's storage dtype (fp16 for real OpenAI
+    # weights) — pass the caller's dtype or the tree comes back mixed
     def g(i, suffix):
-        return np.asarray(sd[f"{prefix}.resblocks.{i}.{suffix}"])
+        return np.asarray(sd[f"{prefix}.resblocks.{i}.{suffix}"], dtype)
 
     def stack(suffix):
         return np.stack([g(i, suffix) for i in range(layers)])
@@ -213,23 +226,11 @@ def convert_vit_clip(sd: dict, cfg: Optional[CLIPConfig] = None, dtype=np.float3
             "positional_embedding": a("visual.positional_embedding"),
             "conv1": {"weight": a("visual.conv1.weight")},
             "ln_pre": {"weight": a("visual.ln_pre.weight"), "bias": a("visual.ln_pre.bias")},
-            "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers),
+            "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers, dtype),
             "ln_post": {"weight": a("visual.ln_post.weight"), "bias": a("visual.ln_post.bias")},
             "proj": a("visual.proj"),
         },
-        "text": {
-            "token_embedding": a("token_embedding.weight"),
-            "positional_embedding": a("positional_embedding"),
-            "blocks": _stack_blocks(sd, "transformer", cfg.transformer_layers),
-            "ln_final": {"weight": a("ln_final.weight"), "bias": a("ln_final.bias")},
-            "text_projection": a("text_projection"),
-        },
-        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+        # text tower + logit_scale shared with the RN path — ONE layout
+        **convert_text_tower(sd, dtype),
     }
-
-    def cast(tree):
-        import jax.tree_util as jtu
-
-        return jtu.tree_map(lambda x: np.asarray(x, dtype), tree)
-
-    return cast(params), cfg
+    return params, cfg

@@ -39,30 +39,41 @@ _DTYPES = {
 }
 
 
-def _build() -> Optional[str]:
-    # feature-suffixed artifacts so a cached NPZ-only build is upgraded to the
-    # JPEG build once libjpeg headers appear (a single mtime-cached .so would
-    # pin whichever feature set happened to build first)
+def _build_candidates():
+    """Yield loadable .so paths in preference order (JPEG build first),
+    building missing/stale artifacts on the fly.
+
+    Feature-suffixed artifacts so a cached NPZ-only build is upgraded to the
+    JPEG build once libjpeg headers appear (a single mtime-cached .so would
+    pin whichever feature set happened to build first).  A missing .cpp
+    source (pruned deployment) treats any cached .so as current instead of
+    raising; a candidate that fails to dlopen (e.g. libjpeg removed after
+    the build) is SKIPPED by the caller, so the plain NPZ build still serves
+    the prefetch pool."""
     so_jpeg = os.path.join(_HERE, "_npz_loader_jpeg.so")
     so_plain = _SO
+    src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else None
     last_err = ""
     for so, extra in ((so_jpeg, (["-DFFM_WITH_JPEG"], ["-ljpeg"])),
                       (so_plain, ([], []))):
-        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
-            return so
+        if os.path.exists(so) and (src_mtime is None
+                                   or os.path.getmtime(so) >= src_mtime):
+            yield so
+            continue
+        if src_mtime is None:
+            continue  # nothing cached and no source to build from
         cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17"] + extra[0]
                + [_SRC, "-o", so, "-lz", "-lpthread"] + extra[1])
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-            return so
+            yield so
         except FileNotFoundError:
-            return None  # no compiler at all
+            return  # no compiler at all
         except subprocess.CalledProcessError as e:
             last_err = (e.stderr or "")[-400:]
             continue
     if last_err:
         print(f"[native] build failed, using numpy fallback: {last_err}")
-    return None
 
 
 def _load():
@@ -70,14 +81,14 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib if _lib is not False else None
-        so = _build()
-        if so is None:
-            _lib = False
-            return None
-        try:
-            lib = ctypes.CDLL(so)
-        except OSError as e:  # e.g. cached .so against a missing libjpeg soname
-            print(f"[native] cannot load {so} ({e}); using numpy fallback")
+        lib = None
+        for so in _build_candidates():
+            try:
+                lib = ctypes.CDLL(so)
+                break
+            except OSError as e:  # e.g. cached .so against a missing soname
+                print(f"[native] cannot load {so} ({e}); trying next build")
+        if lib is None:
             _lib = False
             return None
         lib.nlz_open.restype = ctypes.c_void_p

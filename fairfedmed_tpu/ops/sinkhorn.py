@@ -53,7 +53,10 @@ def sinkhorn(
     c0 = jnp.ones_like(v)
     r, c, _, _ = jax.lax.while_loop(cond, body, (r0, c0, jnp.inf, 0))
     T = r[:, :, None] * c[:, None, :] * K
-    valid = jnp.logical_not(jnp.any(jnp.isnan(T)))
+    # isfinite, not just not-NaN: nan_to_num also CLAMPS +/-inf to 3.4e38,
+    # so an overflowed plan (r*c in fp32) would otherwise be reported valid
+    # and train on garbage instead of triggering the caller's skip machinery
+    valid = jnp.all(jnp.isfinite(T))
     T = jnp.nan_to_num(T)
     return jax.lax.stop_gradient(T), valid
 
@@ -95,6 +98,9 @@ def entropic_cot(
 
     u, v, _, _ = jax.lax.while_loop(cond, body, (dx, dy, jnp.inf, 0))
     T = u[:, :, None] * K * v[:, None, :]
-    valid = jnp.logical_not(jnp.any(jnp.isnan(T)))
+    # isfinite, not just not-NaN: nan_to_num also CLAMPS +/-inf to 3.4e38,
+    # so an overflowed plan (r*c in fp32) would otherwise be reported valid
+    # and train on garbage instead of triggering the caller's skip machinery
+    valid = jnp.all(jnp.isfinite(T))
     T = jnp.nan_to_num(T)
     return jax.lax.stop_gradient(T), valid
