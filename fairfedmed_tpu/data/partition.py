@@ -47,8 +47,10 @@ def partition_indices(
         return _homo(y_train, y_test, n_parties)
     if partition == "noniid-labeldir":
         return _label_dirichlet(y_train, y_test, n_parties, beta, K)
-    if partition in ("noniid-labeluni", "iid-label100"):
-        return _label_uniform(y_train, y_test, n_parties, K)
+    if partition == "noniid-labeluni":
+        return _label_uniform_skewed(y_train, y_test, n_parties, K)
+    if partition == "iid-label100":
+        return _iid_label100(y_train, y_test, n_parties)
     if partition.startswith("noniid-#label"):
         k = int(partition[len("noniid-#label"):])
         return _label_quantity(y_train, y_test, n_parties, K, k)
@@ -103,23 +105,96 @@ def _label_dirichlet(y_train, y_test, n_parties, beta, K, min_require_size=10):
     return out_train, out_test
 
 
-def _label_uniform(y_train, y_test, n_parties, K):
-    """Each class's samples are split evenly across all clients."""
-    idx_batch_train = [[] for _ in range(n_parties)]
-    idx_batch_test = [[] for _ in range(n_parties)]
-    for k in range(K):
-        train_idx_k = np.where(y_train == k)[0]
-        test_idx_k = np.where(y_test == k)[0]
-        np.random.shuffle(train_idx_k)
-        np.random.shuffle(test_idx_k)
-        for j, chunk in enumerate(np.array_split(train_idx_k, n_parties)):
-            idx_batch_train[j].extend(chunk.tolist())
-        for j, chunk in enumerate(np.array_split(test_idx_k, n_parties)):
-            idx_batch_test[j].extend(chunk.tolist())
-    return (
-        {j: np.asarray(idx_batch_train[j]) for j in range(n_parties)},
-        {j: np.asarray(idx_batch_test[j]) for j in range(n_parties)},
-    )
+def _label_uniform_skewed(y_train, y_test, n_parties, K, num=None):
+    """``noniid-labeluni`` (utils/datasplit.py:201-279): each client holds
+    ``num`` classes.  Every class is claimed exactly ``num*n_parties/K``
+    times (greedy max-remaining-count draw), and each claim takes a
+    uniform(0.4, 0.6)-normalized PROPORTION of the class's samples — a
+    label-skewed split, NOT an even per-class division.  ``num`` follows the
+    reference's per-dataset table (cifar10→2, cifar100→10, binary→1)."""
+    if num is None:
+        table = {10: 2, 100: 10, 2: 1}
+        if K not in table:
+            raise ValueError(
+                f"noniid-labeluni has no classes-per-client rule for K={K} "
+                "(reference supports 10/100/2-class datasets)")
+        num = table[K]
+    assert (num * n_parties) % K == 0, "equal classes appearance is needed"
+    count_per_class = (num * n_parties) // K
+    class_dict = {}
+    for i in range(K):
+        probs = np.random.uniform(0.4, 0.6, size=count_per_class)
+        class_dict[i] = {"count": count_per_class,
+                         "prob": (probs / probs.sum()).tolist()}
+    class_part = {"class": [], "prob": []}
+    for _ in range(n_parties):
+        c = []
+        for _ in range(num):
+            counts = [class_dict[i]["count"] for i in range(K)]
+            max_ids = np.where(np.array(counts) == max(counts))[0]
+            c.append(int(np.random.choice(max_ids)))
+            class_dict[c[-1]]["count"] -= 1
+        class_part["class"].append(c)
+        class_part["prob"].append([class_dict[i]["prob"].pop() for i in c])
+
+    data_idx_tr = {i: np.where(y_train == i)[0] for i in range(K)}
+    data_idx_te = {i: np.where(y_test == i)[0] for i in range(K)}
+    n_tr = {i: len(data_idx_tr[i]) for i in range(K)}
+    n_te = {i: len(data_idx_te[i]) for i in range(K)}
+    for v in data_idx_tr.values():
+        random.shuffle(v)  # python-random shuffle, like the reference
+    for v in data_idx_te.values():
+        random.shuffle(v)
+    out_tr = {i: np.ndarray(0, dtype=np.int64) for i in range(n_parties)}
+    out_te = {i: np.ndarray(0, dtype=np.int64) for i in range(n_parties)}
+    for u in range(n_parties):
+        for c, p in zip(class_part["class"][u], class_part["prob"][u]):
+            e_tr, e_te = int(n_tr[c] * p), int(n_te[c] * p)
+            out_tr[u] = np.append(out_tr[u], data_idx_tr[c][:e_tr])
+            out_te[u] = np.append(out_te[u], data_idx_te[c][:e_te])
+            data_idx_tr[c] = data_idx_tr[c][e_tr:]
+            data_idx_te[c] = data_idx_te[c][e_te:]
+    return out_tr, out_te
+
+
+def _iid_label100(y_train, y_test, n_parties):
+    """``iid-label100`` (utils/datasplit.py:123-199): CIFAR-100 clustered by
+    coarse label — clients ``5i..5i+4`` share coarse group ``i`` and each
+    holds ``(N/n_parties)//5`` samples of each of its 5 fine labels.  The
+    reference pins seed 12345 (and, as a side effect kept here for parity,
+    reseeds the GLOBAL numpy RNG)."""
+    seed = 12345
+    rng = random.Random(seed)
+    np.random.seed(seed)
+    n_samples_tr, n_samples_te = len(y_train), len(y_test)
+    sel_tr = rng.sample(range(n_samples_tr), n_samples_tr)
+    sel_te = rng.sample(range(n_samples_te), n_samples_te)
+    per_tr = int((n_samples_tr / n_parties) // 5)
+    per_te = int((n_samples_te / n_parties) // 5)
+
+    by_fine_tr = {k: [] for k in range(100)}
+    by_fine_te = {k: [] for k in range(100)}
+    for idx in sel_tr:
+        by_fine_tr[int(y_train[idx])].append(idx)
+    for idx in sel_te:
+        by_fine_te[int(y_test[idx])].append(idx)
+    fine_by_coarse = {k: [] for k in range(20)}
+    for fine, coarse in enumerate(CIFAR100_COARSE):
+        fine_by_coarse[int(coarse)].append(fine)
+
+    out_tr = {i: np.ndarray(0, dtype=np.int64) for i in range(n_parties)}
+    out_te = {i: np.ndarray(0, dtype=np.int64) for i in range(n_parties)}
+    for by_fine, out, per in ((by_fine_tr, out_tr, per_tr),
+                              (by_fine_te, out_te, per_te)):
+        for u in range(n_parties):
+            fines = fine_by_coarse[u // 5]
+            for k in range(5):
+                f = fines[k]
+                pick = rng.sample(list(by_fine[f]), per)
+                out[u] = np.append(out[u], pick)
+                for idx in pick:
+                    by_fine[f].remove(idx)
+    return out_tr, out_te
 
 
 def _label_quantity(y_train, y_test, n_parties, K, k_per_client):

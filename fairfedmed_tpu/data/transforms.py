@@ -46,6 +46,17 @@ def resize(img, size, interpolation="bilinear"):
     return out if out.ndim == 3 else out[:, :, None]
 
 
+def resize_short_edge(img, s, interpolation="bilinear"):
+    """torchvision Resize(int) semantics: the SHORTER edge becomes ``s``,
+    aspect ratio preserved."""
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = s, max(1, int(round(w * s / h)))
+    else:
+        nh, nw = max(1, int(round(h * s / w))), s
+    return resize(img, (nh, nw), interpolation)
+
+
 def random_flip(img):
     return img[:, ::-1] if np.random.rand() < 0.5 else img
 
@@ -82,17 +93,19 @@ def random_resized_crop(img, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
     return resize(center_crop(img, min(h, w)), size, interpolation)
 
 
-def random_translation(img, shift=0.125):
-    h, w = img.shape[:2]
-    dx = int(np.random.uniform(-shift, shift) * w)
-    dy = int(np.random.uniform(-shift, shift) * h)
-    out = np.zeros_like(img)
-    src_y = slice(max(0, -dy), min(h, h - dy))
-    dst_y = slice(max(0, dy), min(h, h + dy))
-    src_x = slice(max(0, -dx), min(w, w - dx))
-    dst_x = slice(max(0, dx), min(w, w + dx))
-    out[dst_y, dst_x] = img[src_y, src_x]
-    return out
+def random_translation(img, size, interpolation="bilinear", p=0.5):
+    """Random2DTranslation (transforms.py:43-91): with prob 1-p just resize
+    to ``size``; else resize to 1.125x and random-crop back — content is
+    never discarded and no blank borders are produced (the previous
+    zero-fill pixel shift was a different augmentation)."""
+    h, w = (size, size) if isinstance(size, int) else size
+    if np.random.uniform(0, 1) > p:
+        return resize(img, (h, w), interpolation)
+    nh, nw = int(round(h * 1.125)), int(round(w * 1.125))
+    out = resize(img, (nh, nw), interpolation)
+    x1 = int(round(np.random.uniform(0, nw - w)))
+    y1 = int(round(np.random.uniform(0, nh - h)))
+    return out[y1 : y1 + h, x1 : x1 + w]
 
 
 def cutout(img, n_holes=1, length=16):
@@ -107,21 +120,50 @@ def cutout(img, n_holes=1, length=16):
     return out
 
 
-def gaussian_noise(img, mean=0.0, std=0.15):
-    # reference applies on [0,1]-scale tensors; ours is 0-255 → scale std
-    return img + np.random.normal(mean, std * 255.0, size=img.shape).astype(np.float32)
+def gaussian_noise(img, mean=0.0, std=0.15, p=0.5):
+    """GaussianNoise (transforms.py:161-173): applied with prob ``p`` AFTER
+    normalization, so ``std`` is in normalized units.  (It previously ran
+    unconditionally pre-normalize with std*255 — ~4x the reference strength
+    on 100% of images.)  The caller appends this after the final stage."""
+    if np.random.uniform(0, 1) > p:
+        return img
+    return img + (np.random.standard_normal(img.shape).astype(np.float32)
+                  * std + mean)
 
 
-def colorjitter(img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+def _grayscale(img):
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+
+
+def colorjitter(img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.0):
+    """torchvision ColorJitter semantics: the four adjustments run in RANDOM
+    order, each with a factor drawn from [max(0, 1-x), 1+x] (hue from
+    [-hue, hue]); contrast blends toward the GRAYSCALE mean (not the
+    all-channel mean) and hue shifts the HSV hue channel."""
+    ops = []
+    if brightness:
+        f = np.random.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: x * f)
+    if contrast:
+        f_c = np.random.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda x: _grayscale(x).mean() * (1 - f_c) + x * f_c)
+    if saturation:
+        f_s = np.random.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda x: _grayscale(x)[..., None] * (1 - f_s) + x * f_s)
+    if hue:
+        f_h = np.random.uniform(-hue, hue)
+
+        def _hue(x):
+            hsv = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
+            hsv[..., 0] = (hsv[..., 0] + f_h * 180.0) % 180.0  # cv2 H in [0,180)
+            return cv2.cvtColor(hsv.astype(np.uint8),
+                                cv2.COLOR_HSV2RGB).astype(np.float32)
+
+        ops.append(_hue)
     out = img
-    b = 1.0 + np.random.uniform(-brightness, brightness)
-    out = out * b
-    c = 1.0 + np.random.uniform(-contrast, contrast)
-    mean = out.mean()
-    out = (out - mean) * c + mean
-    s = 1.0 + np.random.uniform(-saturation, saturation)
-    gray = out.mean(-1, keepdims=True)
-    out = gray + (out - gray) * s
+    for i in np.random.permutation(len(ops)):
+        out = ops[int(i)](out)
     return np.clip(out, 0, 255)
 
 
@@ -196,27 +238,19 @@ def build_transform(cfg, is_train: bool = True) -> Optional[Callable]:
     fns: List[Callable] = []
 
     if is_train:
-        if "random_resized_crop" in choices:
-            fns.append(lambda x: random_resized_crop(x, size, scale=tuple(cfg.INPUT.RRCROP_SCALE), interpolation=interp))
-        else:
+        # resize only when NO crop op will produce the target size itself
+        # (transforms.py:220-226's conditions list): with random_crop the
+        # crop must operate on the ORIGINAL-size image, not a pre-warped one
+        if "random_crop" not in choices and "random_resized_crop" not in choices:
             fns.append(lambda x: resize(x, size, interp))
+        if "random_translation" in choices:
+            fns.append(lambda x: random_translation(x, size, interp))
         if "random_crop" in choices:
             fns.append(lambda x: random_crop(x, size, cfg.INPUT.CROP_PADDING))
-        if "random_translation" in choices:
-            fns.append(random_translation)
+        if "random_resized_crop" in choices:
+            fns.append(lambda x: random_resized_crop(x, size, scale=tuple(cfg.INPUT.RRCROP_SCALE), interpolation=interp))
         if "random_flip" in choices:
             fns.append(random_flip)
-        if "colorjitter" in choices:
-            fns.append(lambda x: colorjitter(x, cfg.INPUT.COLORJITTER_B, cfg.INPUT.COLORJITTER_C,
-                                             cfg.INPUT.COLORJITTER_S, cfg.INPUT.COLORJITTER_H))
-        if "randomgrayscale" in choices:
-            fns.append(lambda x: randomgrayscale(x, cfg.INPUT.RGS_P))
-        if "gaussian_blur" in choices:
-            fns.append(lambda x: gaussian_blur(x, cfg.INPUT.GB_K, cfg.INPUT.GB_P))
-        if "gaussian_noise" in choices:
-            fns.append(lambda x: gaussian_noise(x, cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD))
-        if "cutout" in choices:
-            fns.append(lambda x: cutout(x, cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN))
         # AutoAugment / RandAugment policy banks (transforms.py:203-225 wiring)
         if "imagenet_policy" in choices or "cifar10_policy" in choices \
                 or "svhn_policy" in choices or "randaugment" in choices \
@@ -235,12 +269,29 @@ def build_transform(cfg, is_train: bool = True) -> Optional[Callable]:
                 fns.append(_u8(aa.RandAugmentFixMatch(cfg.INPUT.RANDAUGMENT_N)))
             if "randaugment2" in choices:
                 fns.append(_u8(aa.RandAugment2(cfg.INPUT.RANDAUGMENT_N)))
+        if "colorjitter" in choices:
+            fns.append(lambda x: colorjitter(x, cfg.INPUT.COLORJITTER_B, cfg.INPUT.COLORJITTER_C,
+                                             cfg.INPUT.COLORJITTER_S, cfg.INPUT.COLORJITTER_H))
+        if "randomgrayscale" in choices:
+            fns.append(lambda x: randomgrayscale(x, cfg.INPUT.RGS_P))
+        if "gaussian_blur" in choices:
+            fns.append(lambda x: gaussian_blur(x, cfg.INPUT.GB_K, cfg.INPUT.GB_P))
+        # cutout writes 0 pre-normalize: 0/255 == 0 in [0,1], equivalent to
+        # the reference's post-ToTensor placement
+        if "cutout" in choices:
+            fns.append(lambda x: cutout(x, cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN))
+        fns.append(_final(cfg))
+        # gaussian noise rides AFTER normalize (std in normalized units, p=.5)
+        if "gaussian_noise" in choices:
+            fns.append(lambda x: gaussian_noise(x, cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD))
     else:
-        fns.append(lambda x: resize(x, size, interp))
-        if "center_crop" in choices:
-            fns.append(lambda x: center_crop(x, size))
+        # test pipeline (transforms.py:330-344): short-edge resize preserving
+        # aspect ratio + UNCONDITIONAL center crop — warping straight to
+        # (h, w) would distort every non-square source
+        fns.append(lambda x: resize_short_edge(x, max(size) if not isinstance(size, int) else size, interp))
+        fns.append(lambda x: center_crop(x, size))
+        fns.append(_final(cfg))
 
-    fns.append(_final(cfg))
     if "instance_norm" in choices:
         fns.append(lambda x: instance_norm(x.transpose(1, 2, 0)).transpose(2, 0, 1))
     return Compose(fns)

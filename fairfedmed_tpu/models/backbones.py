@@ -51,8 +51,11 @@ def build_backbone(name: str):
 # --------------------------------------------------------------------------- #
 
 def _conv_init(key, cout, cin, k):
-    fan_in = cin * k * k
-    return jax.random.normal(key, (cout, cin, k, k)) * (2.0 / fan_in) ** 0.5
+    # kaiming_normal_(mode='fan_out') like the reference ResNet._init_params
+    # (resnet.py:171-178): std = sqrt(2 / (cout*k*k)).  fan_in mode is off by
+    # sqrt(cout/cin) on every channel-changing conv.
+    fan_out = cout * k * k
+    return jax.random.normal(key, (cout, cin, k, k)) * (2.0 / fan_out) ** 0.5
 
 
 def _bn_init(dim):

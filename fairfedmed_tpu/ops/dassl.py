@@ -65,7 +65,10 @@ def mixstyle(rng, x, p: float = 0.5, alpha: float = 0.1, eps: float = 1e-6,
     batch = x.shape[0]
     x32 = x.astype(jnp.float32)
     mu = jax.lax.stop_gradient(x32.mean(axis=(2, 3), keepdims=True))
+    # torch .var default is UNBIASED (n-1); numpy-style var is biased
+    n = x.shape[2] * x.shape[3]
     var = jax.lax.stop_gradient(x32.var(axis=(2, 3), keepdims=True))
+    var = var * (n / max(n - 1, 1))
     sig = jnp.sqrt(var + eps)
     x_normed = (x32 - mu) / sig
     lmda = jax.random.beta(r_beta, alpha, alpha, (batch, 1, 1, 1))
@@ -402,15 +405,18 @@ def se_attention_init(rng, in_channels: int, out_features: int,
     """Squeeze-excite-style attention head (attention.py:8-31)."""
     squeeze = squeeze if squeeze else in_channels // 16
     assert squeeze > 0
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     s1 = (1.0 / in_channels) ** 0.5
     s2 = (1.0 / squeeze) ** 0.5
+    # torch Linear default: bias uniform(+-1/sqrt(fan_in)) like the weight
     return {"fc1": {"weight": jax.random.uniform(k1, (squeeze, in_channels),
                                                  minval=-s1, maxval=s1),
-                    "bias": jnp.zeros((squeeze,))},
+                    "bias": jax.random.uniform(k3, (squeeze,),
+                                               minval=-s1, maxval=s1)},
             "fc2": {"weight": jax.random.uniform(k2, (out_features, squeeze),
                                                  minval=-s2, maxval=s2),
-                    "bias": jnp.zeros((out_features,))}}
+                    "bias": jax.random.uniform(k4, (out_features,),
+                                               minval=-s2, maxval=s2)}}
 
 
 def se_attention_apply(params, x):
@@ -435,36 +441,47 @@ def conv2d_dynamic_init(rng, in_channels: int, out_channels: int,
     (grouped kxk, 1x1, kx1, 1xk) + an attention head producing their mix."""
     if kernel_size % 2 == 0:
         raise ValueError("kernel_size must be odd")
-    keys = jax.random.split(rng, 6)
+    keys = jax.random.split(rng, 11)
     groups = min(in_channels, out_channels)
 
-    def w(key, cout, cin, kh, kw):
-        fan_in = cin * kh * kw
+    def w(kw_, kb, cout, cin, kh, kwid):
+        # torch Conv2d default init (bias=True in the reference, conv.py:36-84):
+        # weight AND bias uniform(+-1/sqrt(fan_in))
+        fan_in = cin * kh * kwid
         bound = (1.0 / fan_in) ** 0.5
-        return jax.random.uniform(key, (cout, cin, kh, kw),
-                                  minval=-bound, maxval=bound)
+        return {
+            "weight": jax.random.uniform(kw_, (cout, cin, kh, kwid),
+                                         minval=-bound, maxval=bound),
+            "bias": jax.random.uniform(kb, (cout,),
+                                       minval=-bound, maxval=bound),
+        }
 
     params = {
-        "conv": w(keys[0], out_channels, in_channels, kernel_size, kernel_size),
-        "conv_nn": w(keys[1], out_channels, in_channels // groups,
+        "conv": w(keys[0], keys[5], out_channels, in_channels, kernel_size, kernel_size),
+        "conv_nn": w(keys[1], keys[6], out_channels, in_channels // groups,
                      kernel_size, kernel_size),
-        "conv_11": w(keys[2], out_channels, in_channels, 1, 1),
-        "conv_n1": w(keys[3], out_channels, in_channels, kernel_size, 1),
-        "conv_1n": w(keys[4], out_channels, in_channels, 1, kernel_size),
+        "conv_11": w(keys[2], keys[7], out_channels, in_channels, 1, 1),
+        "conv_n1": w(keys[3], keys[8], out_channels, in_channels, kernel_size, 1),
+        "conv_1n": w(keys[4], keys[9], out_channels, in_channels, 1, kernel_size),
         "attention": se_attention_init(
-            keys[5], attention_in_channels or in_channels, 4, squeeze),
+            keys[10], attention_in_channels or in_channels, 4, squeeze),
     }
     return params
 
 
+def _dyn_conv_b(x, wb, stride, padding, groups=1):
+    out = _dyn_conv(x, wb["weight"], stride, padding, groups)
+    return out + wb["bias"].astype(out.dtype).reshape(1, -1, 1, 1)
+
+
 def conv2d_dynamic_apply(params, x, stride: int = 1, attention_x=None):
     """Dynamic conv forward (conv.py:86-96): out = conv(x) + Σ_i y_i·template_i(x)."""
-    k = params["conv"].shape[2]
+    k = params["conv"]["weight"].shape[2]
     p = k // 2
-    groups = params["conv"].shape[1] // params["conv_nn"].shape[1]
+    groups = params["conv"]["weight"].shape[1] // params["conv_nn"]["weight"].shape[1]
     y = se_attention_apply(params["attention"],
                            x if attention_x is None else attention_x)
-    out = _dyn_conv(x, params["conv"], stride, [(p, p), (p, p)])
+    out = _dyn_conv_b(x, params["conv"], stride, [(p, p), (p, p)])
     templates = (
         ("conv_nn", [(p, p), (p, p)], groups),
         ("conv_11", [(0, 0), (0, 0)], 1),
@@ -472,7 +489,7 @@ def conv2d_dynamic_apply(params, x, stride: int = 1, attention_x=None):
         ("conv_1n", [(0, 0), (p, p)], 1),
     )
     for i, (name, pad, g) in enumerate(templates):
-        out = out + _dyn_conv(x, params[name], stride, pad, g) \
+        out = out + _dyn_conv_b(x, params[name], stride, pad, g) \
             * y[:, i].reshape(-1, 1, 1, 1)
     return out
 

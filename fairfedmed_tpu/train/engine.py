@@ -290,7 +290,12 @@ class TrainerX(SimpleTrainer):
                     f"\t{losses}"
                     f"\tlr {self.get_current_lr():.6e}"
                 )
-            n_iter = global_epoch * self.num_batches + self.batch_idx
+            # reference x-axis (trainer.py:729-734): local-epoch term + the
+            # federated round offset spans ALL local epochs — dropping
+            # self.epoch collides scalar steps when OPTIM.MAX_EPOCH > 1
+            n_iter = self.epoch * self.num_batches + self.batch_idx
+            if global_epoch >= 0:
+                n_iter += global_epoch * self.max_epoch * self.num_batches
             if loss_summary:
                 for name, meter in losses.meters.items():
                     self.write_scalar(f"train/{name}/{idx}", meter.avg, n_iter)

@@ -287,9 +287,9 @@ def test_conv2d_dynamic_reduces_to_base_conv_with_zero_templates():
     assert full.shape == (2, 16, 5, 5)
     zeroed = dict(params)
     for name in ("conv_nn", "conv_11", "conv_n1", "conv_1n"):
-        zeroed[name] = jnp.zeros_like(params[name])
+        zeroed[name] = jax.tree_util.tree_map(jnp.zeros_like, params[name])
     base_only = ops.conv2d_dynamic_apply(zeroed, x, stride=2)
-    want = ops._dyn_conv(x, params["conv"], 2, [(1, 1), (1, 1)])
+    want = ops._dyn_conv_b(x, params["conv"], 2, [(1, 1), (1, 1)])
     np.testing.assert_allclose(np.asarray(base_only), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
     # templates contribute: full differs from base

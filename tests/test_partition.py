@@ -33,15 +33,59 @@ def test_homo(labels):
     assert max(sizes) - min(sizes) <= 1
 
 
-@pytest.mark.parametrize("strategy", ["noniid-labeldir", "noniid-labeluni",
-                                      "iid-label100"])
-def test_label_strategies_cover(labels, strategy):
+def test_label_strategies_cover(labels):
     y_train, y_test = labels
     np.random.seed(0)
-    tr, te = partition_indices(y_train, y_test, strategy, 3, beta=0.5,
-                               num_classes=10)
+    tr, te = partition_indices(y_train, y_test, "noniid-labeldir", 3,
+                               beta=0.5, num_classes=10)
     _assert_exact_cover(tr, 600)
     _assert_exact_cover(te, 200)
+
+
+def test_labeluni_classes_per_client(labels):
+    """noniid-labeluni (datasplit.py:201-279): each client holds exactly
+    `num`=2 classes (cifar10 rule) with uniform(0.4,0.6)-normalized
+    per-claim proportions — a LABEL-SKEWED split, not an even division."""
+    y_train, y_test = labels
+    np.random.seed(0)
+    import random as pyrandom
+    pyrandom.seed(0)
+    tr, te = partition_indices(y_train, y_test, "noniid-labeluni", 5,
+                               num_classes=10)
+    all_tr = []
+    for part in tr.values():
+        held = {int(y_train[i]) for i in part}
+        assert len(held) == 2, held
+        all_tr.extend(int(i) for i in part)
+    # every class is claimed num*n/K = 1 time here, so each client owns its
+    # 2 classes EXCLUSIVELY; assignments are disjoint
+    assert len(all_tr) == len(set(all_tr))
+    # truncation drops at most a few samples per claim, never whole classes
+    assert len(all_tr) > 0.9 * len(y_train)
+    # the test split follows the same per-client class ownership
+    for u in tr:
+        train_classes = {int(y_train[i]) for i in tr[u]}
+        assert {int(y_test[i]) for i in te[u]} <= train_classes
+
+
+def test_iid_label100_coarse_clusters():
+    """iid-label100 (datasplit.py:123-199): clients 5i..5i+4 hold 5 fine
+    labels of coarse group i, (N/n)//5 samples each, fixed seed 12345."""
+    rng = np.random.default_rng(7)
+    y_train = rng.permutation(np.repeat(np.arange(100), 30))
+    y_test = rng.permutation(np.repeat(np.arange(100), 10))
+    tr, te = partition_indices(y_train, y_test, "iid-label100", 100,
+                               num_classes=100)
+    for u in (0, 7, 42, 99):
+        fines = {int(y_train[i]) for i in tr[u]}
+        assert len(fines) == 5
+        coarse = {int(CIFAR100_COARSE[f]) for f in fines}
+        assert coarse == {u // 5}, (u, coarse)
+        assert len(tr[u]) == 5 * ((3000 // 100) // 5)
+        assert len(te[u]) == 5 * ((1000 // 100) // 5)
+    # balanced CIFAR-100 shape drains exactly: full disjoint cover
+    _assert_exact_cover(tr, 3000)
+    _assert_exact_cover(te, 1000)
 
 
 def test_label_quantity(labels):
