@@ -78,6 +78,26 @@ class ArrayClientSplit:
         return self.images[i], int(self.labels_arr[i]), None
 
 
+def build_client_splits(cfg, X_train, y_train, X_test, y_test,
+                        num_classes: int, expand=None):
+    """Partition label arrays per cfg and wrap each client's slice in
+    ArrayClientSplit — THE shard-construction step shared by every
+    array-backed federated dataset (CIFAR / MNIST-family / FEMNIST), so
+    partition-output handling cannot drift between them.  ``expand`` maps a
+    raw image array to model layout (e.g. adding a channel axis)."""
+    expand = expand or (lambda x: x)
+    idx_train, idx_test = partition_indices(
+        y_train, y_test, cfg.DATASET.PARTITION, cfg.DATASET.USERS,
+        beta=cfg.DATASET.BETA, num_classes=num_classes)
+    fed_train = [ArrayClientSplit(expand(X_train[idx_train[i]]),
+                                  y_train[idx_train[i]])
+                 for i in range(cfg.DATASET.USERS)]
+    fed_test = [ArrayClientSplit(expand(X_test[idx_test[i]]),
+                                 y_test[idx_test[i]])
+                for i in range(cfg.DATASET.USERS)]
+    return fed_train, fed_test
+
+
 class _CifarBase:
     name = ""
     loader = None
@@ -88,18 +108,8 @@ class _CifarBase:
         self.dataset_dir = os.path.join(root, self.dataset_dir)
         X_train, y_train, X_test, y_test, classnames = type(self).load_arrays(self.dataset_dir)
         self.num_classes = len(classnames)
-
-        idx_train, idx_test = partition_indices(
-            y_train, y_test, cfg.DATASET.PARTITION, cfg.DATASET.USERS,
-            beta=cfg.DATASET.BETA, num_classes=self.num_classes,
-        )
-        self.federated_train_x: List[ArrayClientSplit] = []
-        self.federated_test_x: List[ArrayClientSplit] = []
-        for i in range(cfg.DATASET.USERS):
-            tr, te = idx_train[i], idx_test[i]
-            self.federated_train_x.append(ArrayClientSplit(X_train[tr], y_train[tr]))
-            self.federated_test_x.append(ArrayClientSplit(X_test[te], y_test[te]))
-
+        self.federated_train_x, self.federated_test_x = build_client_splits(
+            cfg, X_train, y_train, X_test, y_test, self.num_classes)
         self.classnames = classnames
         self.lab2cname = {i: c for i, c in enumerate(classnames)}
 

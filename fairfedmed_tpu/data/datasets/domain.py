@@ -40,6 +40,14 @@ def dirichlet_partition_pair(train_labels: np.ndarray, test_labels: np.ndarray,
     attempt = 0
     while min_size < min_require_size:
         attempt += 1
+        if attempt > 1000:
+            # unsatisfiable requirement (e.g. a split with fewer than
+            # n_parties*min_require_size samples) must error, not hang the
+            # dataset constructor in an endless redraw loop
+            raise ValueError(
+                f"dirichlet_partition_pair: could not reach min_require_size="
+                f"{min_require_size} for {n_parties} parties after 1000 "
+                f"draws (train={n_train}, test={len(test_labels)} samples)")
         idx_train: List[List[int]] = [[] for _ in range(n_parties)]
         idx_test: List[List[int]] = [[] for _ in range(n_parties)]
         for k in range(num_classes):

@@ -171,11 +171,7 @@ class FewShotFederatedDataset(DatasetBase):
         train, val, test = subsample_classes(
             train, val, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES)
 
-        # OxfordPets hardcodes overlap for the 20-client setup
-        # (oxford_pets.py:60-65)
-        repeat_rate = cfg.DATASET.REPEATRATE
-        if type(self).__name__ == "OxfordPets" and cfg.DATASET.USERS == 20:
-            repeat_rate = 0.1
+        repeat_rate = self.repeat_rate(cfg)
 
         fed_train = fed_test = None
         if cfg.DATASET.USERS > 0:
@@ -214,6 +210,11 @@ class FewShotFederatedDataset(DatasetBase):
     def build_split(self, cfg, image_dir):
         raise NotImplementedError
 
+    def repeat_rate(self, cfg) -> float:
+        """Per-dataset overlap rate; subclasses override (OxfordPets pins
+        0.1 for its 20-client setup, oxford_pets.py:60-65)."""
+        return cfg.DATASET.REPEATRATE
+
 
 @DATASET_REGISTRY.register()
 class Caltech101(FewShotFederatedDataset):
@@ -233,6 +234,10 @@ class Caltech101(FewShotFederatedDataset):
 class OxfordPets(FewShotFederatedDataset):
     dataset_dir = "oxford_pets"
     split_filename = "split_zhou_OxfordPets.json"
+
+    def repeat_rate(self, cfg) -> float:
+        # hardcoded overlap for the 20-client setup (oxford_pets.py:60-65)
+        return 0.1 if cfg.DATASET.USERS == 20 else cfg.DATASET.REPEATRATE
 
     def build_split(self, cfg, image_dir):
         trainval = self._read_anno(image_dir, "trainval.txt")

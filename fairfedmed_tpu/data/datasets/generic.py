@@ -26,7 +26,7 @@ import numpy as np
 
 from ...utils.registry import DATASET_REGISTRY
 from ..partition import partition_indices
-from .cifar import ArrayClientSplit
+from .cifar import ArrayClientSplit, build_client_splits
 
 
 # --------------------------------------------------------------------------
@@ -131,8 +131,16 @@ def load_celeba_labels(datadir: str, target_attr: str = "Male"):
         for line in f:
             fname, s = line.split()
             split[fname] = int(s)
-    tr_f = [f_ for f_ in files if split.get(f_, 0) == 0]
-    te_f = [f_ for f_ in files if split.get(f_, 0) == 2]
+    missing = [f_ for f_ in files if f_ not in split]
+    if missing:
+        # defaulting unlisted files to the TRAIN split would silently leak
+        # test images into training on a truncated partition file
+        raise ValueError(
+            f"{part_path} is missing {len(missing)} files present in "
+            f"{attr_path} (first: {missing[0]}); the partition file is "
+            "truncated or mismatched")
+    tr_f = [f_ for f_ in files if split[f_] == 0]
+    te_f = [f_ for f_ in files if split[f_] == 2]
     y = dict(zip(files, ys))
     return (tr_f, np.asarray([y[f_] for f_ in tr_f], np.int64),
             te_f, np.asarray([y[f_] for f_ in te_f], np.int64))
@@ -151,11 +159,17 @@ class CharacterDataset:
         char2idx = {c: i for i, c in enumerate(self.all_characters)}
         self.tokenized_text = np.asarray([char2idx[c] for c in self.text], np.int64)
         n = len(self)
-        # strided views → materialized [n, chunk_len] inputs/targets
-        self.inputs = np.stack([self.tokenized_text[i : i + chunk_len] for i in range(n)]) \
-            if n else np.zeros((0, chunk_len), np.int64)
-        self.targets = np.stack([self.tokenized_text[i + 1 : i + 1 + chunk_len] for i in range(n)]) \
-            if n else np.zeros((0, chunk_len), np.int64)
+        # TRUE zero-copy strided views over the token array (the reference
+        # slices per item, utils/dataset.py:892-941; materializing [n, chunk]
+        # copies would cost ~2*chunk_len*8 bytes per character of text)
+        if n:
+            windows = np.lib.stride_tricks.sliding_window_view(
+                self.tokenized_text, chunk_len)
+            self.inputs = windows[:n]
+            self.targets = windows[1 : n + 1]
+        else:
+            self.inputs = np.zeros((0, chunk_len), np.int64)
+            self.targets = np.zeros((0, chunk_len), np.int64)
 
     def __len__(self):
         return max(0, len(self.text) - self.chunk_len)
@@ -177,16 +191,8 @@ class _ArrayFederatedBase:
         root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
         X_train, y_train, X_test, y_test = self.load(root)
         self.num_classes = len(self.classnames)
-        idx_train, idx_test = partition_indices(
-            y_train, y_test, cfg.DATASET.PARTITION, cfg.DATASET.USERS,
-            beta=cfg.DATASET.BETA, num_classes=self.num_classes)
-        self.federated_train_x = []
-        self.federated_test_x = []
-        for i in range(cfg.DATASET.USERS):
-            self.federated_train_x.append(
-                ArrayClientSplit(X_train[idx_train[i]], y_train[idx_train[i]]))
-            self.federated_test_x.append(
-                ArrayClientSplit(X_test[idx_test[i]], y_test[idx_test[i]]))
+        self.federated_train_x, self.federated_test_x = build_client_splits(
+            cfg, X_train, y_train, X_test, y_test, self.num_classes)
         self.lab2cname = {i: c for i, c in enumerate(self.classnames)}
 
     def load(self, root):
@@ -233,15 +239,9 @@ class Femnist:
         root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
         X_train, y_train, u_train, X_test, y_test, u_test = load_femnist_arrays(root)
         self.num_classes = int(max(y_train.max(), y_test.max())) + 1
-        idx_train, idx_test = partition_indices(
-            y_train, y_test, cfg.DATASET.PARTITION, cfg.DATASET.USERS,
-            beta=cfg.DATASET.BETA, num_classes=self.num_classes)
-        self.federated_train_x = [
-            ArrayClientSplit(X_train[idx_train[i]][..., None], y_train[idx_train[i]])
-            for i in range(cfg.DATASET.USERS)]
-        self.federated_test_x = [
-            ArrayClientSplit(X_test[idx_test[i]][..., None], y_test[idx_test[i]])
-            for i in range(cfg.DATASET.USERS)]
+        self.federated_train_x, self.federated_test_x = build_client_splits(
+            cfg, X_train, y_train, X_test, y_test, self.num_classes,
+            expand=lambda x: x[..., None])
         self.users_index = u_train
         self.classnames = type(self).classnames[: self.num_classes]
         self.lab2cname = {i: c for i, c in enumerate(self.classnames)}

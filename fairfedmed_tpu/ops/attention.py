@@ -5,8 +5,9 @@ The reference's attention is torch ``nn.MultiheadAttention`` inside fp16 CLIP
 ``[B, H, L, L]`` score tensor in HBM twice (softmax fwd + bwd).  CLIP
 sequences are short (197 image patches / 77 text tokens), so one (batch,
 head) pair's whole Q/K/V and score matrix fit comfortably in VMEM: the kernel
-runs grid=(B·H,), keeps scores in a VMEM scratch, and writes only the [L, dh]
-output — HBM traffic drops from O(L²) to O(L·dh) per head.
+runs grid=(B·H,), holds the scores as kernel-local VMEM values (no explicit
+scratch allocation), and writes only the [L, dh] output — HBM traffic drops
+from O(L²) to O(L·dh) per head.
 
 Backward uses the same full-block strategy via jax.custom_vjp: recompute
 scores/softmax in-kernel, then dV = Pᵀ·dO, dP = dO·Vᵀ,
