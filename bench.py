@@ -39,6 +39,17 @@ section in-process (used by the subprocess fan-out; also handy standalone).
 ``BENCH_SKIP_ROUND=1`` skips every round bench, ``BENCH_SKIP_PROD=1`` only
 the production-scale one, ``BENCH_SKIP_OCT=1`` / ``BENCH_SKIP_RN50=1`` the
 OCT-3D volume round and the RN50-backbone round (captured by default).
+
+Budget discipline (round-3 post-mortem: the driver's outer timeout killed the
+whole bench before ONE byte of output — BENCH_r03.json rc=124, empty):
+
+* ``BENCH_BUDGET_S`` (default 1080 s) is a TOTAL wall-clock budget enforced
+  by the orchestrator; each section gets ``min(cap, remaining/sections_left)``
+  and sections that no longer fit are recorded as ``<name>_skipped: "budget"``
+  instead of being attempted.
+* The merged JSON record is printed AND flushed after EVERY section (the
+  driver takes the last parseable line), so a kill at any point still leaves
+  the newest complete snapshot, starting with the headline step number.
 """
 
 from __future__ import annotations
@@ -332,8 +343,14 @@ _MODES = {
 }
 
 
-def _run_section(mode: str, timeout_s: int = 1500):
-    """Run one measured section in a fresh subprocess; retry ONCE on failure.
+# A section attempt shorter than this cannot finish even warm-cache (jit
+# compiles alone are ~40 s over the tunnel); don't bother starting it.
+MIN_SECTION_S = 150
+
+
+def _run_section(mode: str, timeout_s: float, remaining_s=None):
+    """Run one measured section in a fresh subprocess; retry ONCE on failure
+    if the budget still allows a full second attempt.
 
     A transient tunnel error (FAILED_PRECONDITION, stall) can wedge the
     in-process TPU backend beyond recovery — a fresh process is the only
@@ -350,64 +367,94 @@ def _run_section(mode: str, timeout_s: int = 1500):
                 cwd=here, env=env, capture_output=True, text=True,
                 timeout=timeout_s)
         except subprocess.TimeoutExpired:
-            last_err = f"timeout after {timeout_s}s"
-            continue
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            return rec, attempt, None
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
-        last_err = f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
+            last_err = f"timeout after {timeout_s:.0f}s"
+        else:
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                return rec, attempt, None
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+            last_err = f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
+        if attempt == 1 and remaining_s is not None \
+                and remaining_s() < timeout_s + 10:
+            return None, 1, last_err + " (no budget for retry)"
     return None, 2, last_err
 
 
 def orchestrate():
-    """Run all sections as retried subprocesses, merge into ONE JSON line."""
-    record, attempts, err = _run_section("step")
-    if record is None:
-        # even a doubly-failed step bench must leave an artifact, not rc=1
-        record = {"metric": "fairlora_vitb16_train_imgs_per_sec_per_chip",
-                  "value": None, "unit": "images/sec/chip", "error": err}
-    if attempts > 1:
-        record["step_retries"] = attempts - 1
+    """Run all sections as budgeted subprocesses under BENCH_BUDGET_S total
+    wall-clock; print+flush the merged JSON record after EVERY section."""
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    record = {"metric": "fairlora_vitb16_train_imgs_per_sec_per_chip",
+              "value": None, "unit": "images/sec/chip",
+              "budget_s": budget}
+
+    def emit():
+        record["elapsed_s"] = round(time.monotonic() - t0, 1)
+        sys.stdout.write(json.dumps(record) + "\n")
+        sys.stdout.flush()
+
+    # priority order: the headline step metric first (flushed immediately, so
+    # even a hard kill right after leaves a usable artifact), then the
+    # north-star production round, then the secondary paths; the small 64+16
+    # fixture (tunnel-latency dominated, least informative) goes last.
     sections = []
     if os.environ.get("BENCH_SKIP_ROUND") != "1":
-        sections.append(("round", "round"))
         if os.environ.get("BENCH_SKIP_PROD") != "1":
             sections.append(("round_prod", "round_prod"))
-        # secondary-path round rates ship in the default artifact; failures
-        # degrade to a *_error field, never a nonzero exit
         if os.environ.get("BENCH_SKIP_OCT") != "1":
             sections.append(("round_oct", "round_oct"))
         if os.environ.get("BENCH_SKIP_RN50") != "1":
             sections.append(("round_rn50", "round_rn50"))
-    for mode, prefix in sections:
-        # every round section now runs at production-scale fixtures (plus a
-        # one-time fixture generation on a cold cache); full budget for each
-        rec, attempts, err = _run_section(mode, timeout_s=1500)
+        sections.append(("round", "round"))
+
+    # headline step section: cap at a third of the budget, leaving room for
+    # the round sections even if the tunnel eats a retry
+    step_rec, attempts, err = _run_section(
+        "step", min(budget / 3, max(remaining() - 10, MIN_SECTION_S)),
+        remaining_s=remaining)
+    if step_rec is not None:
+        record.update(step_rec)
+    else:
+        record["error"] = err  # even a doubly-failed step bench leaves a line
+    if attempts > 1:
+        record["step_retries"] = attempts - 1
+    emit()
+
+    for i, (mode, prefix) in enumerate(sections):
+        share = remaining() / (len(sections) - i)
+        if share < MIN_SECTION_S:
+            record[f"{prefix}_skipped"] = "budget"
+            emit()
+            continue
+        rec, attempts, err = _run_section(mode, min(share, 600),
+                                          remaining_s=remaining)
         if rec is None:
             record[f"{prefix}_error"] = err
-            continue
-        record[f"{prefix}_imgs_per_sec"] = rec["value"]
-        record[f"{prefix}_vs_baseline"] = rec["vs_baseline"]
-        record[f"{prefix}_baseline_imgs_per_sec"] = rec["baseline_round_imgs_per_sec"]
-        record[f"{prefix}_fixture"] = rec["fixture"]
+        else:
+            record[f"{prefix}_imgs_per_sec"] = rec["value"]
+            record[f"{prefix}_vs_baseline"] = rec["vs_baseline"]
+            record[f"{prefix}_baseline_imgs_per_sec"] = rec["baseline_round_imgs_per_sec"]
+            record[f"{prefix}_fixture"] = rec["fixture"]
         if attempts > 1:
             record[f"{prefix}_retries"] = attempts - 1
-    if record.get("round_imgs_per_sec") and record.get("value"):
-        record["round_vs_step"] = round(
-            record["round_imgs_per_sec"] / record["value"], 4)
-    # the north-star comparison (BASELINE.md round-level unit), taken at the
-    # production-scale fixture when captured, else the small fixture — each
-    # per-fixture ratio stays in its own *_vs_baseline field above
-    for key in ("round_prod_vs_baseline", "round_vs_baseline"):
-        if key in record:
-            record["round_vs_baseline_round"] = record[key]
-            break
-    print(json.dumps(record))
+        if record.get("round_imgs_per_sec") and record.get("value"):
+            record["round_vs_step"] = round(
+                record["round_imgs_per_sec"] / record["value"], 4)
+        # the north-star comparison (BASELINE.md round-level unit), taken at
+        # the production-scale fixture when captured, else the small fixture
+        for key in ("round_prod_vs_baseline", "round_vs_baseline"):
+            if key in record:
+                record["round_vs_baseline_round"] = record[key]
+                break
+        emit()
     return record
 
 

@@ -50,3 +50,83 @@ def test_unknown_mode_is_an_error():
         capture_output=True, text=True, timeout=120)
     assert proc.returncode != 0
     assert "unknown BENCH_MODE" in proc.stderr
+
+
+def test_orchestrate_flushes_after_every_section(monkeypatch, capsys):
+    # round-3 post-mortem: the driver timeout killed bench.py before ONE byte
+    # of output (BENCH_r03.json rc=124, empty tail).  The orchestrator must
+    # now print the merged record after EVERY section so any kill point still
+    # leaves the newest snapshot on stdout.
+    import json as _json
+
+    calls = []
+
+    def fake_section(mode, timeout_s, remaining_s=None):
+        calls.append((mode, timeout_s))
+        if mode == "step":
+            return {"metric": "m", "value": 100.0, "unit": "u",
+                    "vs_baseline": 2.0, "mfu": 0.5}, 1, None
+        return {"value": 50.0, "vs_baseline": 5.0,
+                "baseline_round_imgs_per_sec": 10.0,
+                "fixture": {"users": 2}}, 1, None
+
+    monkeypatch.setattr(bench, "_run_section", fake_section)
+    monkeypatch.setenv("BENCH_BUDGET_S", "10000")
+    for k in ("BENCH_SKIP_ROUND", "BENCH_SKIP_PROD", "BENCH_SKIP_OCT",
+              "BENCH_SKIP_RN50"):
+        monkeypatch.delenv(k, raising=False)
+    rec = bench.orchestrate()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    # one line after the step section + one after each of the 4 round sections
+    assert len(lines) == 5
+    parsed = [_json.loads(l) for l in lines]
+    assert parsed[0]["value"] == 100.0 and parsed[0]["mfu"] == 0.5
+    # every later line is a superset snapshot; the last parseable line (what
+    # the driver keeps) carries everything
+    last = parsed[-1]
+    assert last["value"] == 100.0
+    assert last["round_prod_imgs_per_sec"] == 50.0
+    assert last["round_vs_baseline_round"] == 5.0
+    assert [m for m, _ in calls] == [
+        "step", "round_prod", "round_oct", "round_rn50", "round"]
+    assert rec == last
+
+
+def test_orchestrate_skips_sections_outside_budget(monkeypatch, capsys):
+    import json as _json
+    import time as _time
+
+    def slow_step(mode, timeout_s, remaining_s=None):
+        assert mode == "step"
+        # eat the whole budget: later sections must be SKIPPED, not attempted
+        fake_now[0] += 10_000
+        return {"metric": "m", "value": 1.0, "unit": "u",
+                "vs_baseline": 1.0}, 1, None
+
+    fake_now = [0.0]
+    monkeypatch.setattr(bench, "_run_section", slow_step)
+    monkeypatch.setattr(_time := bench.time, "monotonic",
+                        lambda: fake_now[0])
+    monkeypatch.setenv("BENCH_BUDGET_S", "1000")
+    for k in ("BENCH_SKIP_ROUND", "BENCH_SKIP_PROD", "BENCH_SKIP_OCT",
+              "BENCH_SKIP_RN50"):
+        monkeypatch.delenv(k, raising=False)
+    rec = bench.orchestrate()
+    out = capsys.readouterr().out.strip().splitlines()
+    last = _json.loads(out[-1])
+    assert last["value"] == 1.0  # headline survived
+    for prefix in ("round_prod", "round_oct", "round_rn50", "round"):
+        assert last[f"{prefix}_skipped"] == "budget"
+        assert f"{prefix}_imgs_per_sec" not in last
+    assert rec == last
+
+
+def test_run_section_denies_retry_without_budget(monkeypatch):
+    # first attempt fails; remaining budget can't cover a second full attempt
+    monkeypatch.setenv("BENCH_SELFTEST_MARKER",
+                       os.path.join(tempfile.gettempdir(), "never", "nested"))
+    rec, attempts, err = bench._run_section(
+        "selftest_flaky", timeout_s=120, remaining_s=lambda: 60.0)
+    assert rec is None
+    assert attempts == 1
+    assert "no budget for retry" in err
