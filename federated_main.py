@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import sys
 import time
 
 import numpy as np
@@ -146,6 +147,32 @@ def _avg(xs):
     return sum(xs) / len(xs)
 
 
+def print_args(args, cfg):
+    """Startup diagnostics block: sorted args + full config dump + env line
+    (reference federated_main.py:15-26 and its setup call at :167; the env
+    line stands in for Dassl's collect_env_info, JAX-flavored).  Downstream
+    log harvesters key on the ``** Arguments **`` / ``** Config **`` headers."""
+    print("***************")
+    print("** Arguments **")
+    print("***************")
+    for key in sorted(args.__dict__):
+        print("{}: {}".format(key, args.__dict__[key]))
+    print("************")
+    print("** Config **")
+    print("************")
+    print(cfg)
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        dev_info = f"{dev.platform}:{dev.device_kind} x{jax.device_count()}"
+    except Exception as e:  # headless/misconfigured backend: never fatal here
+        dev_info = f"unavailable ({e})"
+    print("** System info **")
+    print(f"jax: {jax.__version__}  devices: {dev_info}")
+    print(f"python: {sys.version.split()[0]}  numpy: {np.__version__}")
+
+
 def main(args):
     # normalize programmatically-set id lists too (tests/benches pass real
     # lists): downstream membership tests compare against int client ids
@@ -155,10 +182,7 @@ def main(args):
     if cfg.SEED >= 0:
         set_random_seed(cfg.SEED)
     setup_logger(cfg.OUTPUT_DIR)
-    print("************")
-    print("** Config **")
-    print("************")
-    print(cfg)
+    print_args(args, cfg)
 
     local_weights = [[] for _ in range(args.num_users)]
     local_weights_0 = [[] for _ in range(args.num_users)]
