@@ -304,11 +304,55 @@ class GLPOTBase(TrainerX):
                 attr_mix=attr_mix, lora_scaling=self.lora_scaling,
             )
         else:
-            tokens = vit_encode(
-                frozen["visual"], x, self.bundle.clip_cfg, policy,
-                return_tokens=True, lora=lora, attr_mix=attr_mix,
-                lora_scaling=self.lora_scaling,
-            )  # [B', 1+M, d]
+            if self.is_3d_input and x.shape[0] > image.shape[0]:
+                # 3D volumes slice-expand the image batch (B' = b·num_slices,
+                # GLP_OT_SVLoRA.py:684-693).  Per-image ViT compute is
+                # independent — the batch nonlinearities (fairness loss,
+                # softmax) all come after feature extraction — so run the
+                # tower in volume-batch-sized chunks via lax.map (a scan
+                # inside the same program, zero dispatch cost).  Measured on
+                # v5e: the b32 step regime is ~25% faster per image than
+                # b64+ (saved-activation HBM traffic grows with batch), so
+                # chunking the slice-doubled batch recovers the optimal
+                # regime.  Bit-identical grouping: slices of volume v are
+                # consecutive rows (2v, 2v+1), and the pre-expanded attr_mix
+                # is chunked by the same reshape.
+                b = image.shape[0]
+                num_slices = x.shape[0] // b
+                xs = x.reshape(num_slices, b, *x.shape[1:])
+
+                def _enc(x_c, mix_c):
+                    return vit_encode(
+                        frozen["visual"], x_c, self.bundle.clip_cfg, policy,
+                        return_tokens=True, lora=lora, attr_mix=mix_c,
+                        lora_scaling=self.lora_scaling)
+
+                if attr_mix is not None:
+                    # group_mix is per-volume ([b, G]) when attrs exist and
+                    # already slice-expanded ([B', G]) when attr is None
+                    mixs = (jnp.repeat(attr_mix, num_slices, axis=0)
+                            if attr_mix.shape[0] == b else attr_mix)
+                    mixs = mixs.reshape(num_slices, b, -1)
+                else:
+                    mixs = [None] * num_slices
+                if num_slices <= 4:
+                    # unrolled: XLA schedules the chunks back-to-back with no
+                    # scan carry/stacking overhead (measured faster than
+                    # lax.map at num_slices=2)
+                    tokens = jnp.concatenate(
+                        [_enc(xs[i], mixs[i]) for i in range(num_slices)])
+                elif attr_mix is not None:
+                    tokens = jax.lax.map(lambda a: _enc(*a), (xs, mixs))
+                    tokens = tokens.reshape(x.shape[0], *tokens.shape[2:])
+                else:
+                    tokens = jax.lax.map(lambda x_c: _enc(x_c, None), xs)
+                    tokens = tokens.reshape(x.shape[0], *tokens.shape[2:])
+            else:
+                tokens = vit_encode(
+                    frozen["visual"], x, self.bundle.clip_cfg, policy,
+                    return_tokens=True, lora=lora, attr_mix=attr_mix,
+                    lora_scaling=self.lora_scaling,
+                )  # [B', 1+M, d]
             new_stats = stats
         image_feats = l2_normalize(tokens[:, 1:])          # [B', M, d]
         Bp, M, d = image_feats.shape
