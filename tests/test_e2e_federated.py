@@ -1,5 +1,7 @@
 """End-to-end FL runs through the CLI main() on synthetic fixtures."""
 
+import json
+import os
 import sys
 import types
 
@@ -19,6 +21,42 @@ def _args(**overrides):
     for k, v in overrides.items():
         setattr(args, k, v)
     return args
+
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                           "e2e_trajectories.json")
+
+
+def _check_golden(name, out):
+    """Pin the per-round acc/AUC trajectory against a checked-in golden.
+
+    Unlike the torch-parity suite (skipif-gated on torch + the reference
+    checkout), these goldens keep semantic-drift detection alive in ANY
+    environment.  acc/AUC are rank/count statistics, so they are stable
+    under sub-1e-6 float noise across CPU hosts unless a prediction sits on
+    a knife edge; the goldens were generated on the standard test env
+    (JAX_PLATFORMS=cpu, 8 virtual devices).  Regenerate after an intended
+    semantic change with FAIRFEDMED_REGEN_GOLDENS=1 (runs the same test
+    code, so args/env identity is guaranteed).
+    """
+    traj = {"acc": [float(a) for a in out["acc"]],
+            "auc": [float(a) for a in out.get("auc", [])]}
+    if os.environ.get("FAIRFEDMED_REGEN_GOLDENS") == "1":
+        data = {}
+        if os.path.exists(GOLDEN_PATH):
+            with open(GOLDEN_PATH) as f:
+                data = json.load(f)
+        data[name] = traj
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        return
+    with open(GOLDEN_PATH) as f:
+        exp = json.load(f)[name]
+    np.testing.assert_allclose(traj["acc"], exp["acc"], rtol=0, atol=1e-6,
+                               err_msg=f"{name}: acc trajectory drifted")
+    np.testing.assert_allclose(traj["auc"], exp["auc"], rtol=0, atol=1e-6,
+                               err_msg=f"{name}: AUC trajectory drifted")
 
 
 @pytest.fixture(scope="module")
@@ -46,6 +84,7 @@ def test_cifar10_promptfl_fedavg(cifar_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+    _check_golden("cifar10_promptfl_fedavg", out)
 
 
 def test_fairfedmed_fairlora_ema(fairfedmed_root, tmp_path):
@@ -67,6 +106,7 @@ def test_fairfedmed_fairlora_ema(fairfedmed_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 2
     assert np.isfinite(out["auc"][0])
+    _check_golden("fairfedmed_fairlora_ema", out)
 
 
 def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
@@ -84,6 +124,7 @@ def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
     )
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
+    _check_golden("fairfedmed_glpot_sinkhorn", out)
 
 
 def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
@@ -105,6 +146,7 @@ def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 2
     assert np.isfinite(out["acc"][0])
+    _check_golden("fairfedmed_linearft", out)
 
 
 def test_fairfedmed_linearft_untrained_client(fairfedmed_root, tmp_path):
@@ -151,6 +193,7 @@ def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
     out = federated_main.main(args)
     assert len(out["acc"]) == 1
     assert np.isfinite(out["acc"][0])
+    _check_golden("fairfedmed_fairlora_oct3d", out)
 
 
 def test_cifar10_baseline_trainer(cifar_root, tmp_path):
