@@ -316,7 +316,8 @@ class ParallelRoundRunner:
                   mode: str = "ema_personal",
                   test_users: Optional[Sequence[int]] = None,
                   fedprox_mu: Optional[float] = None,
-                  eval_users: Optional[Sequence[int]] = None):
+                  eval_users: Optional[Sequence[int]] = None,
+                  deferred: bool = False):
         """Train the selected clients in parallel, aggregate, personalize.
 
         ``mode='ema_personal'`` follows the FedOTPLoRA branch (EMA aggregation,
@@ -459,19 +460,57 @@ class ParallelRoundRunner:
             t0 = tick()
 
         # --- pipelining: dispatch the round's eval program NOW (it queues
-        # behind the aggregation on the device stream) so its execution
-        # overlaps the host-side metrics fetch below; parallel_eval picks the
-        # pending dispatch up
+        # behind the aggregation on the device stream); parallel_eval picks
+        # the pending dispatch up
         self._pending_eval = (self._eval_dispatch([int(i) for i in eval_users])
                               if eval_users is not None else None)
         if timing and self._pending_eval is not None:
             t0 = tick()
 
-        # --- metrics: ONE host fetch for the whole round
-        ms = np.asarray(metrics)  # [m, S, 3] — loss, valid, acc (0 on pad)
+        # everything up to here was DISPATCH (async under jit): the round's
+        # only blocking host work lives in resolve_round.  ``deferred=True``
+        # hands that half to the caller, who dispatches the NEXT round first
+        # so this round's fetch overlaps its device execution (the device
+        # stream is serial; the host round-trip is the only dead time).
+        handle = {
+            "epoch": epoch, "max_epoch": max_epoch, "timing": timing,
+            "idxs_users": idxs_users, "lrs": lrs, "n_steps": n_steps,
+            "metrics": metrics, "pending_eval": self._pending_eval,
+            # round-r state refs for the optional round checkpoint — by
+            # resolve time self.{global_t,personal_t,stacked_o} may already
+            # hold round r+1's arrays (same for the LR step counter)
+            "state": (self.global_t, self.personal_t, self.stacked_o),
+            "lr_steps": int(self.trainer._lr_steps),
+        }
+        self._pending_eval = None
+        if deferred:
+            return handle
+        return self.resolve_round(handle)
+
+    def resolve_round(self, handle):
+        """Blocking half of a round: ONE combined host transfer (train
+        metrics + eval logits — every blocking fetch costs a tunnel
+        round-trip on remote TPU), the per-client loss lines, and the
+        optional round checkpoint.  Reinstalls the round's dispatched eval
+        so the next ``parallel_eval`` call picks it up."""
+        import time as _time
+        timing = handle["timing"]
+        tick = _time.perf_counter
+        t0 = tick()
+
+        pend = handle["pending_eval"]
+        if pend is not None:
+            ms, logits_host = jax.device_get(
+                (handle["metrics"], pend["logits"]))
+            ms = np.asarray(ms)  # [m, S, 3] — loss, valid, acc (0 on pad)
+            pend["logits_host"] = np.asarray(logits_host, np.float32)
+        else:
+            ms = np.asarray(handle["metrics"])
+        self._pending_eval = pend
         if timing:
             print(f"[timing] metrics fetch: {tick() - t0:.3f}s")
-        for j, idx in enumerate(idxs_users):
+        n_steps, lrs = handle["n_steps"], handle["lrs"]
+        for j, idx in enumerate(handle["idxs_users"]):
             nv = max(float(ms[j, :, 1].sum()), 1.0)
             print(f"client {idx}: steps {int(n_steps[j])} "
                   f"loss {ms[j, :, 0].sum() / nv:.4f} "
@@ -483,12 +522,16 @@ class ParallelRoundRunner:
         # meaning EVERY round — preemption recovery is the whole point of
         # setting it).  Only this run's latest step is kept — resume needs
         # one, and a full stacked state per round would fill the disk.
+        epoch, max_epoch = handle["epoch"], handle["max_epoch"]
         ckpt_dir = self._round_ckpt_dir()
         if ckpt_dir:
             freq = max(int(self.cfg.TRAIN.CHECKPOINT_FREQ), 1)
             due = (epoch + 1 >= max_epoch or (epoch + 1) % freq == 0)
             if due:
-                print(f"round state -> {self.save_round_state(ckpt_dir, epoch)}")
+                path = self.save_round_state(ckpt_dir, epoch,
+                                             state=handle["state"],
+                                             lr_steps=handle["lr_steps"])
+                print(f"round state -> {path}")
                 self._prune_round_ckpts(ckpt_dir, keep=epoch)
         return ms
 
@@ -805,7 +848,9 @@ class ParallelRoundRunner:
         trainer = self.trainer
         idxs_users = ctx["idxs"]
         caches, mats, n_valids = ctx["caches"], ctx["mats"], ctx["n_valids"]
-        logits_np = np.asarray(ctx["logits"], np.float32)  # ONE fetch
+        logits_np = ctx.get("logits_host")  # pre-fetched with the metrics
+        if logits_np is None:
+            logits_np = np.asarray(ctx["logits"], np.float32)  # ONE fetch
         if timing:
             print(f"[timing] eval logits fetch: {tick() - t0:.3f}s")
             t0 = tick()
@@ -845,18 +890,25 @@ class ParallelRoundRunner:
                         str(self.cfg.MODEL.BACKBONE.NAME)])
         return zlib.crc32(key.encode())
 
-    def save_round_state(self, directory: str, epoch: int) -> str:
+    def save_round_state(self, directory: str, epoch: int,
+                         state=None, lr_steps=None) -> str:
         """Checkpoint the device-resident federated state — global + stacked
         per-client trainables, per-client optimizer states, and the LR step
         counter — as ONE Orbax pytree (train/checkpoint.py).  Beyond-reference
         capability: the reference ships resume disabled (trainer.py:435-436)
         and keeps no mid-run federated state at all; here a long run on a
-        preemptible TPU can continue from the last round."""
+        preemptible TPU can continue from the last round.
+
+        ``state``/``lr_steps`` override the live attributes: a DEFERRED round
+        resolves after the next round has dispatched, when self.* already
+        holds the newer arrays (run_round snapshots them into the handle)."""
         from ..train.checkpoint import save_pytree
 
-        tree = {"global_t": self.global_t, "personal_t": self.personal_t,
-                "stacked_o": self.stacked_o,
-                "lr_steps": int(self.trainer._lr_steps),
+        g, p, o = state if state is not None else (
+            self.global_t, self.personal_t, self.stacked_o)
+        tree = {"global_t": g, "personal_t": p, "stacked_o": o,
+                "lr_steps": int(self.trainer._lr_steps
+                                if lr_steps is None else lr_steps),
                 "epoch": int(epoch),
                 "fingerprint": self._run_fingerprint()}
         path = save_pytree(directory, tree, step=epoch)

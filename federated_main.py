@@ -259,6 +259,12 @@ def main(args):
               f"--round {max_epoch}: training already complete, only "
               "re-saving final weights")
 
+    # Deferred-round pipelining (FedOTPLoRA mesh path): each round's blocking
+    # host fetch resolves AFTER the next round has dispatched, overlapping
+    # the fetch with device execution; pending_flush prints the previous
+    # round's full output block so stdout order is byte-identical.
+    pending_flush = None
+
     for epoch in range(start_epoch, max_epoch):
         if args.trainer == "CLIP":
             # zero-shot eval-only round (federated_main.py:223-267)
@@ -405,62 +411,96 @@ def main(args):
             # large-scale eval gating (reference federated_main.py:654-676):
             # with >= 50 users, per-round testing starts only at epoch 140
             skip_eval = args.num_users >= 50 and epoch < 140
-            print("------------local train start epoch:", epoch, "-------------")
             if runner is not None:
+                # deferred-round pipelining: dispatch this round, THEN
+                # resolve the previous one — its blocking fetch overlaps
+                # this round's device execution.  The resolver prints the
+                # previous round's complete output block, so stdout stays
+                # byte-identical to the blocking order.
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                runner.run_round(epoch, idxs_users, max_epoch,
-                                 mode="ema_personal", test_users=all_users,
-                                 eval_users=None if skip_eval else all_users)
-                print("------------local train finish epoch:", epoch, "-------------")
-                print("Use EMA")
-                if skip_eval:
-                    print("Epoch on server :", epoch)
-                    continue
-                print("------------local test start-------------")
-                results = runner.parallel_eval(all_users, epoch)
-                if results is None:
-                    results = []
-                    for idx in all_users:
-                        runner.install_client(idx)
-                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            else:
-                for idx in idxs_users:
-                    if epoch == 0:
-                        local_trainer.load_state_dict(global_weights, strict=False)
-                    else:
-                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                        is_last_client=idx == idxs_users[-1])
-                    local_weight = local_trainer.state_dict()
-                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                    local_weights[idx] = copy.deepcopy(local_weight)
-                print("------------local train finish epoch:", epoch, "-------------")
+                handle = runner.run_round(
+                    epoch, idxs_users, max_epoch, mode="ema_personal",
+                    test_users=all_users,
+                    eval_users=None if skip_eval else all_users,
+                    deferred=True)
 
-                print("Use EMA")
-                global_weights = average_weights_ema(
-                    global_weights, local_weights, idxs_users, datanumber_client,
-                    datanumber_client_by_attr, epoch, max_epoch,
-                    shared_half_s=args.shared_half_s)
-
-                print("------------local test start-------------")
-                results = []
-                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                for idx in all_users:
-                    local_weights_per[idx] = copy.deepcopy(global_weights)
-                    if idx in args.idxs_users_train:
-                        # keep local embeddings (reference keeps them only for
-                        # explicitly listed training users, federated_main.py:648-652)
-                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                        if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
-                            for k, v in local_weights_1[idx].items():
-                                local_weights_per[idx][k] = v
-                if skip_eval:
+                def _flush(epoch=epoch, handle=handle, skip_eval=skip_eval,
+                           all_users=all_users):
+                    print("------------local train start epoch:", epoch,
+                          "-------------")
+                    runner.resolve_round(handle)
+                    print("------------local train finish epoch:", epoch,
+                          "-------------")
+                    print("Use EMA")
+                    if skip_eval:
+                        print("Epoch on server :", epoch)
+                        return
+                    print("------------local test start-------------")
+                    results = runner.parallel_eval(all_users, epoch)
+                    if results is None:  # no device eval cache: host fallback
+                        results = []
+                        for idx in all_users:
+                            runner.install_client(idx)
+                            results.append(local_trainer.test(
+                                idx=int(idx), current_epoch=epoch))
+                    _summarize(results, start, global_time_list,
+                               global_test_acc_list, global_test_error_list,
+                               global_test_f1_list, global_test_auc_list,
+                               global_epoch_list, epoch)
+                    _report_split_client(cfg, args, epoch,
+                                         [r[0] for r in results])
                     print("Epoch on server :", epoch)
-                    continue
-                for idx in all_users:
+                    print()
+
+                prev, pending_flush = pending_flush, None
+                if prev is not None:
+                    prev()
+                if skip_eval or handle["pending_eval"] is not None:
+                    pending_flush = _flush
+                else:
+                    # eval couldn't ride the device path (no eval cache): the
+                    # host-fallback test needs THIS round's personalization
+                    # state, so resolve before the next round dispatches
+                    _flush()
+                continue
+            print("------------local train start epoch:", epoch, "-------------")
+            for idx in idxs_users:
+                if epoch == 0:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                else:
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                    is_last_client=idx == idxs_users[-1])
+                local_weight = local_trainer.state_dict()
+                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                local_weights[idx] = copy.deepcopy(local_weight)
+            print("------------local train finish epoch:", epoch, "-------------")
+
+            print("Use EMA")
+            global_weights = average_weights_ema(
+                global_weights, local_weights, idxs_users, datanumber_client,
+                datanumber_client_by_attr, epoch, max_epoch,
+                shared_half_s=args.shared_half_s)
+
+            print("------------local test start-------------")
+            results = []
+            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+            for idx in all_users:
+                local_weights_per[idx] = copy.deepcopy(global_weights)
+                if idx in args.idxs_users_train:
+                    # keep local embeddings (reference keeps them only for
+                    # explicitly listed training users, federated_main.py:648-652)
+                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                        for k, v in local_weights_1[idx].items():
+                            local_weights_per[idx][k] = v
+            if skip_eval:
+                print("Epoch on server :", epoch)
+                continue
+            for idx in all_users:
+                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -559,6 +599,9 @@ def main(args):
 
         print("Epoch on server :", epoch)
         print()
+
+    if pending_flush is not None:  # resolve the final deferred round
+        pending_flush()
 
     # save final per-client weights (federated_main.py:775-778)
     import os

@@ -49,6 +49,7 @@ trainers/GLP_OT_SVLoRA.py:767-1054, utils/fed_utils.py:42-100.
 from __future__ import annotations
 
 import argparse
+import glob
 import importlib.util
 import json
 import os
@@ -443,6 +444,12 @@ def run_reference(root: str, ckpt: str, outdir: str, rounds: int,
     import federated_main as our_fm
 
     args = _common_args(our_fm, root, outdir, rounds, seed, **cfg_kw)
+
+    # a reused outdir still holds the previous run's log.txt — the Dassl
+    # logger would then write THIS run to a timestamped sibling
+    # (log.txt-<date>) and _parse_log would read the stale trajectories
+    for stale in glob.glob(os.path.join(outdir, "log.txt*")):
+        os.remove(stale)
 
     saved_stdout = sys.stdout
     try:
