@@ -335,10 +335,26 @@ def text_encode(
     prompt_embeds: [N, 77, width] (token embeddings with learned context rows
     already spliced in — see prompt_learner); eot_indices: [N] argmax of the
     tokenized prompt, used for EOT pooling (GLP_OT_SVLoRA.py:55-66).
+
+    EOT truncation: only the EOT position's activation is pooled, and under
+    CAUSAL attention no position ≤ EOT ever attends to a later one — so
+    tokens after the last EOT (the bulk of the 77-token context: padding)
+    cannot influence the output.  When the EOT indices are static (host
+    numpy, the prompt-learner contract) the sequence is truncated to the
+    last EOT, bit-identical and ~5x less text-tower work per train step.
     """
     text = params["text"]
     x = prompt_embeds.astype(policy.compute_dtype)
-    x = x + text["positional_embedding"].astype(x.dtype)
+    try:  # static only: a traced eot_indices (no known case) skips truncation
+        import numpy as _np
+
+        l_eff = int(_np.max(_np.asarray(eot_indices))) + 1
+        l_eff = min(x.shape[1], max(8, -(-l_eff // 8) * 8))  # lane-align
+    except Exception:
+        l_eff = x.shape[1]
+    if l_eff < x.shape[1]:
+        x = x[:, :l_eff]
+    x = x + text["positional_embedding"][: x.shape[1]].astype(x.dtype)
     x = transformer(text["blocks"], x, cfg.transformer_heads, mask=causal_mask(x.shape[1]))
     x = layer_norm(text["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_indices[:, None, None], axis=1)[:, 0]

@@ -250,20 +250,26 @@ class GLPOTBase(TrainerX):
         std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32).reshape(1, -1, 1, 1)
         x = image.astype(jnp.float32)
         if cfg.DATASET.NAME in MEDICAL_DATASETS:
-            x = x / 255.0
             if self.is_3d_input:
+                # conv(x/255, W) == conv(x, W/255): fold the /255 into the
+                # (tiny) weight instead of a full elementwise pass over the
+                # volume batch.  bf16 rounding is scale-invariant, so raw
+                # 0-255 pixels round with the same relative error as /255-ed
+                # ones; in fp32 the fold is exact to ~1 ulp.
                 b, c, h, w = x.shape
                 x = x.reshape(-1, self.dim_per_3d_slice, h, w)
                 p = trainable["proj_per_3d_slice"]
                 x = jax.lax.conv_general_dilated(
                     x.astype(self.policy.compute_dtype),
-                    p["weight"].astype(self.policy.compute_dtype),
+                    (p["weight"] / 255.0).astype(self.policy.compute_dtype),
                     window_strides=(1, 1), padding=[(2, 2), (2, 2)],
                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 ).astype(jnp.float32) + p["bias"].reshape(1, -1, 1, 1)
                 mn = x.min(axis=(1, 2, 3), keepdims=True)
                 mx = x.max(axis=(1, 2, 3), keepdims=True)
                 x = (x - mn) / (mx - mn + 1e-5)
+            else:
+                x = x / 255.0
             x = (x - mean) / std
         elif cfg.DATASET.NAME in ("Cifar10", "Cifar100"):
             from ...data.datasets.cifar import CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD
