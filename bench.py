@@ -43,7 +43,7 @@ OCT-3D volume round and the RN50-backbone round (captured by default).
 Budget discipline (round-3 post-mortem: the driver's outer timeout killed the
 whole bench before ONE byte of output — BENCH_r03.json rc=124, empty):
 
-* ``BENCH_BUDGET_S`` (default 1080 s) is a TOTAL wall-clock budget enforced
+* ``BENCH_BUDGET_S`` (default 1380 s) is a TOTAL wall-clock budget enforced
   by the orchestrator; each section gets ``min(cap, remaining/sections_left)``
   and sections that no longer fit are recorded as ``<name>_skipped: "budget"``
   instead of being attempted.
@@ -216,16 +216,21 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
     # it would resume the bench fixture from (or prune) a real run's state
     saved_ckpt_env = os.environ.pop("FAIRFEDMED_ROUND_CKPT", None)
     try:
-        # tiny OCT payloads unless the OCT round itself is being measured —
-        # a production-scale fixture would otherwise cost ~0.5 MB x N files
-        oct_kw = {} if modality.startswith("oct") else dict(oct_depth=4, oct_hw=8)
+        # OCT volumes are generated at the model resolution (no host resize)
+        # so pixels stay integral and the runner's device cache rides uint8 —
+        # the 6.6 GB fp32 cache transfer was the dominant round-0 cost over
+        # the tunnel (and the reason round_oct could blow a slow-tunnel
+        # section budget).  Non-OCT sections keep tiny OCT payloads.
+        oct_kw = (dict(oct_hw=224) if modality.startswith("oct")
+                  else dict(oct_depth=4, oct_hw=8))
         # fixtures are seeded-deterministic: CACHE them across bench sections
         # and retries (the production fixture is 4k NPZ files, minutes to
         # regenerate on the 1-core host).  Built in a tmp dir and atomically
         # renamed so a concurrent bench never sees a half-written cache.
+        # v2: uint8 payloads, OCT at full resolution.
         cache = os.path.join(
             tempfile.gettempdir(), "ffm_bench_fixtures",
-            f"{users}_{n_train}_{n_test}_{modality.split('_')[0]}")
+            f"{users}_{n_train}_{n_test}_{modality.split('_')[0]}_v2")
         if not os.path.isdir(os.path.join(cache, "fairfedmed")):
             build = tempfile.mkdtemp(prefix="ffmfix_")
             make_fairfedmed_fixture(build, n_sites=users, n_train=n_train,
@@ -387,7 +392,7 @@ def orchestrate():
     """Run all sections as budgeted subprocesses under BENCH_BUDGET_S total
     wall-clock; print+flush the merged JSON record after EVERY section."""
     t0 = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
 
     def remaining():
         return budget - (time.monotonic() - t0)
@@ -429,7 +434,12 @@ def orchestrate():
     emit()
 
     for i, (mode, prefix) in enumerate(sections):
-        share = remaining() / (len(sections) - i)
+        # reserve only the minimum viable slice for each LATER section: an
+        # even remaining/sections_left split starves the expensive early
+        # sections (round_prod needs ~200 s warm but a 1080/5 split caps it
+        # at ~250 s — one slow fixture decode away from a spurious timeout),
+        # while later sections reuse the caches the early ones populate
+        share = remaining() - MIN_SECTION_S * (len(sections) - i - 1)
         if share < MIN_SECTION_S:
             record[f"{prefix}_skipped"] = "budget"
             emit()

@@ -221,6 +221,15 @@ class ParallelRoundRunner:
         imgs = np.stack([it[0] for it in items]).astype(np.float32)
         if imgs.nbytes > budget_left:
             return None
+        # Integral-valued pixel sets (uint8 sources: medical NPZ payloads,
+        # CIFAR, image files — anything not float-resized) ride as uint8:
+        # 4x less host->device transfer (the dominant round-0 cost on a
+        # remote-TPU tunnel) and 4x less HBM, exactly equal after the
+        # in-step astype(float32).
+        if imgs.size and 0.0 <= float(imgs.min()) and float(imgs.max()) <= 255.0:
+            as_u8 = imgs.astype(np.uint8)
+            if np.array_equal(imgs, as_u8):
+                imgs = as_u8
         labels = np.asarray([it[1] for it in items], np.int32)
         attrs = (np.stack([it[2] for it in items]).astype(np.int32)
                  if items[0][2] is not None else None)

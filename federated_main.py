@@ -259,11 +259,60 @@ def main(args):
               f"--round {max_epoch}: training already complete, only "
               "re-saving final weights")
 
-    # Deferred-round pipelining (FedOTPLoRA mesh path): each round's blocking
-    # host fetch resolves AFTER the next round has dispatched, overlapping
-    # the fetch with device execution; pending_flush prints the previous
-    # round's full output block so stdout order is byte-identical.
+    # Deferred-round pipelining (mesh path): each round's blocking host fetch
+    # resolves AFTER the next round has dispatched, overlapping the fetch
+    # with device execution; pending_flush prints the previous round's full
+    # output block so stdout order is byte-identical to the blocking order.
     pending_flush = None
+
+    def _defer_round(epoch, handle, pre_lines, post_train_lines, eval_idxs,
+                     with_auc=True, skip_eval=False):
+        """Build the resolver that prints one round's complete output block
+        (sampling line, per-client loss lines, eval, metric summary) once its
+        results are fetched — called after the NEXT round has dispatched."""
+        eval_idxs = [int(i) for i in eval_idxs]
+
+        def _flush():
+            for line in pre_lines:
+                print(line)
+            runner.resolve_round(handle)
+            print("------------local train finish epoch:", epoch,
+                  "-------------")
+            for line in post_train_lines:
+                print(line)
+            if skip_eval:
+                print("Epoch on server :", epoch)
+                return
+            print("------------local test start-------------")
+            results = runner.parallel_eval(eval_idxs, epoch)
+            if results is None:  # no device eval cache: host fallback
+                results = []
+                for idx in eval_idxs:
+                    runner.install_client(idx)
+                    results.append(local_trainer.test(idx=idx,
+                                                      current_epoch=epoch))
+            _summarize(results, start, global_time_list, global_test_acc_list,
+                       global_test_error_list, global_test_f1_list,
+                       global_test_auc_list, global_epoch_list, epoch,
+                       with_auc=with_auc)
+            _report_split_client(cfg, args, epoch, [r[0] for r in results])
+            print("Epoch on server :", epoch)
+            print()
+        return _flush
+
+    def _schedule_flush(flush, defer_ok):
+        """Resolve the previous round's pending flush, then either park this
+        round's (the normal pipelined case) or — when its eval could not ride
+        the device path and the host fallback needs THIS round's state —
+        resolve it immediately."""
+        nonlocal pending_flush
+        prev, pending_flush = pending_flush, None
+        if prev is not None:
+            prev()
+        if defer_ok:
+            pending_flush = flush
+        else:
+            flush()
 
     for epoch in range(start_epoch, max_epoch):
         if args.trainer == "CLIP":
@@ -285,31 +334,31 @@ def main(args):
         elif args.model == "fedavg":
             m = max(int(args.frac * args.num_users), 1)
             idxs_users = np.random.choice(range(args.num_users), m, replace=False)
+            if runner is not None:
+                all_eval = list(range(cfg.DATASET.USERS))
+                handle = runner.run_round(epoch, list(idxs_users), max_epoch,
+                                          mode="fedavg", eval_users=all_eval,
+                                          deferred=True)
+                flush = _defer_round(
+                    epoch, handle,
+                    [f"idxs_users {idxs_users}",
+                     f"------------local train start epoch: {epoch} -------------"],
+                    [], all_eval, with_auc=False)
+                _schedule_flush(flush, handle["pending_eval"] is not None)
+                continue
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            if runner is not None:
-                runner.run_round(epoch, list(idxs_users), max_epoch, mode="fedavg",
-                                 eval_users=list(range(cfg.DATASET.USERS)))
-                print("------------local train finish epoch:", epoch, "-------------")
-                print("------------local test start-------------")
-                results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
-                if results is None:
-                    results = []
-                    for idx in range(cfg.DATASET.USERS):
-                        runner.install_client(idx)
-                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            else:
-                for idx in idxs_users:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-                print("------------local train finish epoch:", epoch, "-------------")
-                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-                print("------------local test start-------------")
-                results = []
-                for idx in range(cfg.DATASET.USERS):
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+            for idx in idxs_users:
+                local_trainer.load_state_dict(global_weights, strict=False)
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+            print("------------local train finish epoch:", epoch, "-------------")
+            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+            print("------------local test start-------------")
+            results = []
+            for idx in range(cfg.DATASET.USERS):
+                local_trainer.load_state_dict(global_weights, strict=False)
+                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch, with_auc=False)
@@ -318,34 +367,34 @@ def main(args):
         elif args.model == "fedprox":
             m = max(int(args.frac * args.num_users), 1)
             idxs_users = np.random.choice(range(args.num_users), m, replace=False)
+            if runner is not None:
+                # fedprox evaluates only the round's selected users
+                handle = runner.run_round(epoch, list(idxs_users), max_epoch,
+                                          mode="fedavg",
+                                          fedprox_mu=float(args.mu),
+                                          eval_users=list(idxs_users),
+                                          deferred=True)
+                flush = _defer_round(
+                    epoch, handle,
+                    [f"idxs_users {idxs_users}",
+                     f"------------local train start epoch: {epoch} -------------"],
+                    [], list(idxs_users), with_auc=False)
+                _schedule_flush(flush, handle["pending_eval"] is not None)
+                continue
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            if runner is not None:
-                runner.run_round(epoch, list(idxs_users), max_epoch,
-                                 mode="fedavg", fedprox_mu=float(args.mu),
-                                 eval_users=list(idxs_users))
-                print("------------local train finish epoch:", epoch, "-------------")
-                print("------------local test start-------------")
-                # fedprox evaluates only the round's selected users
-                results = runner.parallel_eval(list(idxs_users), epoch)
-                if results is None:
-                    results = []
-                    for idx in idxs_users:
-                        runner.install_client(int(idx))
-                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            else:
-                for idx in idxs_users:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                        global_weight=global_weights, fedprox=True, mu=args.mu)
-                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-                print("------------local train finish epoch:", epoch, "-------------")
-                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-                print("------------local test start-------------")
-                results = []
-                for idx in idxs_users:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+            for idx in idxs_users:
+                local_trainer.load_state_dict(global_weights, strict=False)
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                    global_weight=global_weights, fedprox=True, mu=args.mu)
+                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+            print("------------local train finish epoch:", epoch, "-------------")
+            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+            print("------------local test start-------------")
+            results = []
+            for idx in idxs_users:
+                local_trainer.load_state_dict(global_weights, strict=False)
+                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch, with_auc=False)
@@ -359,40 +408,40 @@ def main(args):
             else:
                 m = max(int(args.frac * args.num_users), 1)
                 idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+            if runner is not None:
+                all_eval = list(range(cfg.DATASET.USERS))
+                handle = runner.run_round(epoch, idxs_users, max_epoch,
+                                          mode="prompt_personal",
+                                          eval_users=all_eval, deferred=True)
+                flush = _defer_round(
+                    epoch, handle,
+                    [f"idxs_users {idxs_users}",
+                     f"------------local train start epoch: {epoch} -------------"],
+                    [], all_eval)
+                _schedule_flush(flush, handle["pending_eval"] is not None)
+                continue
             print("idxs_users", idxs_users)
             print("------------local train start epoch:", epoch, "-------------")
-            if runner is not None:
-                runner.run_round(epoch, idxs_users, max_epoch, mode="prompt_personal",
-                                 eval_users=list(range(cfg.DATASET.USERS)))
-                print("------------local train finish epoch:", epoch, "-------------")
-                print("------------local test start-------------")
-                results = runner.parallel_eval(range(cfg.DATASET.USERS), epoch)
-                if results is None:
-                    results = []
-                    for idx in range(cfg.DATASET.USERS):
-                        runner.install_client(idx)
-                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            else:
-                for idx in idxs_users:
-                    if epoch == 0:
-                        local_trainer.load_state_dict(global_weights, strict=False)
-                    else:
-                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                    local_weight = local_trainer.state_dict()
-                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
-                    local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                print("------------local train finish epoch:", epoch, "-------------")
-                global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
-                print("------------local test start-------------")
-                results = []
-                for idx in range(cfg.DATASET.USERS):
-                    local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
-                        [global_prompt, local_weights_1[idx]], axis=0
-                    ) if len(local_weights_1[idx]) else global_prompt
-                for idx in range(cfg.DATASET.USERS):
+            for idx in idxs_users:
+                if epoch == 0:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                else:
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                local_weight = local_trainer.state_dict()
+                local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
+                local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+            print("------------local train finish epoch:", epoch, "-------------")
+            global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
+            print("------------local test start-------------")
+            results = []
+            for idx in range(cfg.DATASET.USERS):
+                local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
+                    [global_prompt, local_weights_1[idx]], axis=0
+                ) if len(local_weights_1[idx]) else global_prompt
+            for idx in range(cfg.DATASET.USERS):
+                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)
@@ -412,56 +461,18 @@ def main(args):
             # with >= 50 users, per-round testing starts only at epoch 140
             skip_eval = args.num_users >= 50 and epoch < 140
             if runner is not None:
-                # deferred-round pipelining: dispatch this round, THEN
-                # resolve the previous one — its blocking fetch overlaps
-                # this round's device execution.  The resolver prints the
-                # previous round's complete output block, so stdout stays
-                # byte-identical to the blocking order.
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
                 handle = runner.run_round(
                     epoch, idxs_users, max_epoch, mode="ema_personal",
                     test_users=all_users,
                     eval_users=None if skip_eval else all_users,
                     deferred=True)
-
-                def _flush(epoch=epoch, handle=handle, skip_eval=skip_eval,
-                           all_users=all_users):
-                    print("------------local train start epoch:", epoch,
-                          "-------------")
-                    runner.resolve_round(handle)
-                    print("------------local train finish epoch:", epoch,
-                          "-------------")
-                    print("Use EMA")
-                    if skip_eval:
-                        print("Epoch on server :", epoch)
-                        return
-                    print("------------local test start-------------")
-                    results = runner.parallel_eval(all_users, epoch)
-                    if results is None:  # no device eval cache: host fallback
-                        results = []
-                        for idx in all_users:
-                            runner.install_client(idx)
-                            results.append(local_trainer.test(
-                                idx=int(idx), current_epoch=epoch))
-                    _summarize(results, start, global_time_list,
-                               global_test_acc_list, global_test_error_list,
-                               global_test_f1_list, global_test_auc_list,
-                               global_epoch_list, epoch)
-                    _report_split_client(cfg, args, epoch,
-                                         [r[0] for r in results])
-                    print("Epoch on server :", epoch)
-                    print()
-
-                prev, pending_flush = pending_flush, None
-                if prev is not None:
-                    prev()
-                if skip_eval or handle["pending_eval"] is not None:
-                    pending_flush = _flush
-                else:
-                    # eval couldn't ride the device path (no eval cache): the
-                    # host-fallback test needs THIS round's personalization
-                    # state, so resolve before the next round dispatches
-                    _flush()
+                flush = _defer_round(
+                    epoch, handle,
+                    [f"------------local train start epoch: {epoch} -------------"],
+                    ["Use EMA"], all_users, skip_eval=skip_eval)
+                _schedule_flush(flush, skip_eval
+                                or handle["pending_eval"] is not None)
                 continue
             print("------------local train start epoch:", epoch, "-------------")
             for idx in idxs_users:
@@ -517,51 +528,49 @@ def main(args):
             else:
                 m = max(int(args.frac * args.num_users), 1)
                 idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
-            print("------------local train start epoch:", epoch, "-------------")
             if runner is not None:
                 all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                runner.run_round(epoch, idxs_users, max_epoch,
-                                 mode="fedavg_personal", test_users=all_users,
-                                 eval_users=all_users)
-                print("------------local train finish epoch:", epoch, "-------------")
-                print("------------local test start-------------")
-                results = runner.parallel_eval(all_users, epoch)
-                if results is None:
-                    results = []
-                    for idx in all_users:
-                        runner.install_client(idx)
-                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            else:
-                for idx in idxs_users:
-                    if epoch == 0:
-                        local_trainer.load_state_dict(global_weights, strict=False)
-                    else:
-                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                    local_weight = local_trainer.state_dict()
-                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                    local_weights[idx] = copy.deepcopy(local_weight)
-                print("------------local train finish epoch:", epoch, "-------------")
-                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-                print("------------local test start-------------")
-                results = []
-                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                for idx in all_users:
-                    local_weights_per[idx] = copy.deepcopy(global_weights)
-                    # a client never trained (restricted --idxs_users_train)
-                    # has no local rows yet: keep the global ones.  The
-                    # reference crashes here (slice-assigning the initial []
-                    # at federated_main.py:527-528, a gate its FedOTPLoRA
-                    # branch :644 does have); this is the crash-free analogue.
-                    if len(local_weights_0[idx]) > 0:
-                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S and local_weights_1[idx]:
-                        for k, v in local_weights_1[idx].items():
-                            local_weights_per[idx][k] = v
-                for idx in all_users:
+                handle = runner.run_round(epoch, idxs_users, max_epoch,
+                                          mode="fedavg_personal",
+                                          test_users=all_users,
+                                          eval_users=all_users, deferred=True)
+                flush = _defer_round(
+                    epoch, handle,
+                    [f"------------local train start epoch: {epoch} -------------"],
+                    [], all_users)
+                _schedule_flush(flush, handle["pending_eval"] is not None)
+                continue
+            print("------------local train start epoch:", epoch, "-------------")
+            for idx in idxs_users:
+                if epoch == 0:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                else:
                     local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                local_weight = local_trainer.state_dict()
+                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                local_weights[idx] = copy.deepcopy(local_weight)
+            print("------------local train finish epoch:", epoch, "-------------")
+            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+            print("------------local test start-------------")
+            results = []
+            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+            for idx in all_users:
+                local_weights_per[idx] = copy.deepcopy(global_weights)
+                # a client never trained (restricted --idxs_users_train)
+                # has no local rows yet: keep the global ones.  The
+                # reference crashes here (slice-assigning the initial []
+                # at federated_main.py:527-528, a gate its FedOTPLoRA
+                # branch :644 does have); this is the crash-free analogue.
+                if len(local_weights_0[idx]) > 0:
+                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                if cfg.TRAINER.GLP_OT_LORA.LOCAL_S and local_weights_1[idx]:
+                    for k, v in local_weights_1[idx].items():
+                        local_weights_per[idx][k] = v
+            for idx in all_users:
+                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
             _summarize(results, start, global_time_list, global_test_acc_list,
                        global_test_error_list, global_test_f1_list,
                        global_test_auc_list, global_epoch_list, epoch)

@@ -28,10 +28,12 @@ def make_fairfedmed_fixture(root: str, n_sites: int = 2, n_train: int = 12,
             for _ in range(n):
                 label = int(rng.integers(0, 2))
                 attrs = {a: int(rng.integers(0, n_groups.get(a, 2))) for a in attributes}
-                # 2D SLO fundus (stored transposed, uint8-ish floats 0-255)
-                slo = rng.uniform(0, 255, size=(size, size)).astype(np.float32)
+                # 2D SLO fundus (stored transposed; real sites ship uint8
+                # pixel payloads — integral values also let the runner keep
+                # its device cache in uint8, 4x less tunnel transfer)
+                slo = rng.integers(0, 256, size=(size, size), dtype=np.int64).astype(np.uint8)
                 # small 3D OCT volume (depth x H x W)
-                oct_vol = rng.uniform(0, 255, size=(oct_depth, oct_hw, oct_hw)).astype(np.float32)
+                oct_vol = rng.integers(0, 256, size=(oct_depth, oct_hw, oct_hw), dtype=np.int64).astype(np.uint8)
                 fname = f"data_{counter:05d}.npz"
                 counter += 1
                 np.savez(os.path.join(all_dir, fname), slo_fundus=slo,
