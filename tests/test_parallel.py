@@ -148,3 +148,44 @@ def test_parallel_round_rejects_client_shard_mismatch():
     gw = jnp.full((n_dev * 2, G), 1.0 / (n_dev * 2))
     with pytest.raises(ValueError, match="shards"):
         round_fn(stacked, opt, {}, clients[0], batches, w, gw, jnp.float32(0.0))
+
+
+def test_decode_loader_uint8_for_integral_pixels():
+    """Integral-valued pixel sets cache as uint8 (bit-exact after the
+    in-step astype(float32), 4x less transfer/HBM); float-valued sets —
+    e.g. host-resized images — must stay fp32."""
+    from fairfedmed_tpu.fed.parallel_driver import ParallelRoundRunner
+
+    class _DS:
+        def __init__(self, integral):
+            self.integral = integral
+
+        def __len__(self):
+            return 3
+
+        def load_item(self, i):
+            img = np.arange(12, dtype=np.float32).reshape(3, 2, 2) + i
+            if not self.integral:
+                img = img + 0.5
+            return img, 1, np.asarray([0, 1], np.int32)
+
+    class _Loader:
+        transform = None
+        sampler = None
+
+        def __init__(self, integral):
+            self.dataset = _DS(integral)
+
+    runner = object.__new__(ParallelRoundRunner)
+    runner._cache_budget = 1 << 30
+    runner._cached_bytes = 0
+
+    imgs, labels, attrs = runner._decode_loader(_Loader(integral=True))
+    assert imgs.dtype == np.uint8
+    np.testing.assert_array_equal(
+        imgs.astype(np.float32),
+        np.stack([np.arange(12, dtype=np.float32).reshape(3, 2, 2) + i
+                  for i in range(3)]))
+
+    imgs_f, _, _ = runner._decode_loader(_Loader(integral=False))
+    assert imgs_f.dtype == np.float32
