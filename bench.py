@@ -366,6 +366,13 @@ def _run_section(mode: str, timeout_s: float, remaining_s=None):
     env = dict(os.environ, BENCH_MODE=mode)
     last_err = None
     for attempt in (1, 2):
+        if attempt == 2 and remaining_s is not None:
+            # the retry benefits from the compile cache the first attempt
+            # populated but may still be finishing cold work (measured: a
+            # cold-cache round_prod retry needed 575 s of its 600 s slice);
+            # give it up to 1.5x the nominal slice if the budget allows
+            timeout_s = min(max(remaining_s() - 10, MIN_SECTION_S),
+                            timeout_s * 1.5)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(here, "bench.py")],

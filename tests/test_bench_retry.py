@@ -121,6 +121,34 @@ def test_orchestrate_skips_sections_outside_budget(monkeypatch, capsys):
     assert rec == last
 
 
+def test_retry_attempt_gets_stretched_timeout(monkeypatch):
+    # a cold-cache round_prod retry measured 575 s of its 600 s slice: the
+    # retry now stretches to min(remaining - 10, 1.5x slice) when the budget
+    # allows, instead of re-running with the exact nominal slice
+    seen = []
+
+    class _Proc:
+        returncode = 1
+        stdout = ""
+        stderr = "injected failure"
+
+    def fake_run(cmd, cwd=None, env=None, capture_output=None, text=None,
+                 timeout=None):
+        seen.append(timeout)
+        return _Proc()
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    rec, attempts, err = bench._run_section(
+        "step", timeout_s=600, remaining_s=lambda: 2000.0)
+    assert rec is None and attempts == 2
+    assert seen == [600, 900]  # 1.5x slice, budget permits
+
+    seen.clear()
+    rec, attempts, err = bench._run_section(
+        "step", timeout_s=600, remaining_s=lambda: 700.0)
+    assert seen == [600, 690]  # capped by remaining - 10
+
+
 def test_run_section_denies_retry_without_budget(monkeypatch):
     # first attempt fails; remaining budget can't cover a second full attempt
     monkeypatch.setenv("BENCH_SELFTEST_MARKER",
