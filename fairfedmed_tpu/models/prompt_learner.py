@@ -56,10 +56,22 @@ def init_prompt_learner(
     ctx_dim = token_embedding.shape[1]
     tok = tk.get_tokenizer()
 
+    def _gather_rows(ids: np.ndarray) -> np.ndarray:
+        """token_embedding[ids] -> host float32, gathering ON DEVICE when the
+        table is device-resident.  Pulling the full [vocab, width] table first
+        (~101 MB fp32 for CLIP) rides a remote-TPU tunnel through ~3000 small
+        websocket chunks and intermittently stalls for minutes — the gathered
+        rows are ~600 KB, three orders of magnitude less exposure."""
+        if isinstance(token_embedding, jax.Array):
+            rows = jnp.take(token_embedding.astype(jnp.float32),
+                            jnp.asarray(ids), axis=0)
+            return np.asarray(rows, dtype=np.float32)
+        return np.asarray(token_embedding, dtype=np.float32)[ids]
+
     if ctx_init:
         words = str(ctx_init).replace("_", " ")
         ids = tk.tokenize(words)[0]
-        emb = np.asarray(token_embedding)[ids]
+        emb = _gather_rows(np.asarray(ids))
         n_ctx = len(tok.encode(words))
         ctx_vectors = jnp.asarray(emb[1 : 1 + n_ctx], dtype)[None].repeat(n_prompts, axis=0)
         prompt_prefix = words
@@ -74,7 +86,7 @@ def init_prompt_learner(
     tokenized = tk.tokenize(prompts)  # [n_cls, 77]
     tokenized = np.tile(tokenized, (n_prompts, 1))  # [N*n_cls, 77]
 
-    embedding = np.asarray(token_embedding, dtype=np.float32)[tokenized]  # [N*n_cls, 77, dim]
+    embedding = _gather_rows(tokenized)  # [N*n_cls, 77, dim]
 
     # state buffers stay HOST numpy: inside jit they embed as cheap literal
     # constants — device-array closures would force a host materialization
