@@ -169,10 +169,14 @@ def main(emit=True):
     label = jnp.asarray(rng.integers(0, 2, (BATCH,)), jnp.int32)
     attr = jnp.asarray(rng.integers(0, 3, (BATCH,)), jnp.int32)
 
+    from fairfedmed_tpu.utils.profiling import stamp
+
+    stamp("bench_step:model_built")
     for _ in range(WARMUP):
         trainable, opt_state, loss = step(trainable, opt_state, frozen, image, label, attr)
     float(np.asarray(loss))  # force full execution (block_until_ready can be
     # a no-op over remote-TPU tunnels; a value fetch cannot)
+    stamp("bench_step:warmup_done")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -363,7 +367,12 @@ def _run_section(mode: str, timeout_s: float, remaining_s=None):
     before debugging").  Returns (record | None, attempts, last_error).
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    env = dict(os.environ, BENCH_MODE=mode)
+    # build-phase stamps on stderr (free: one-off at startup, outside the
+    # measured rounds) so a timed-out attempt reports WHERE it stalled, and
+    # the tunnel-stall watchdog (utils/tunnel.py) so a wedged relay gets
+    # poked instead of eating the whole section slice
+    env = dict(os.environ, BENCH_MODE=mode, FAIRFEDMED_BUILD_STAMPS="1",
+               FAIRFEDMED_TUNNEL_POKER="1")
     last_err = None
     for attempt in (1, 2):
         if attempt == 2 and remaining_s is not None:
@@ -378,8 +387,14 @@ def _run_section(mode: str, timeout_s: float, remaining_s=None):
                 [sys.executable, os.path.join(here, "bench.py")],
                 cwd=here, env=env, capture_output=True, text=True,
                 timeout=timeout_s)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             last_err = f"timeout after {timeout_s:.0f}s"
+            err_txt = e.stderr
+            if isinstance(err_txt, bytes):
+                err_txt = err_txt.decode(errors="replace")
+            lines = (err_txt or "").strip().splitlines()
+            if lines:  # the last build stamp localizes the stall
+                last_err += " | last stderr: " + lines[-1][-200:]
         else:
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
@@ -490,6 +505,10 @@ if __name__ == "__main__":
     if mode:
         if mode not in _MODES:
             sys.exit(f"unknown BENCH_MODE={mode!r}; one of {sorted(_MODES)}")
+        # stall watchdog for sections run standalone (the orchestrator's
+        # children start it via federated_main; step mode has no CLI)
+        from fairfedmed_tpu.utils.tunnel import start_tunnel_poker
+        start_tunnel_poker()
         _MODES[mode]()
     else:
         orchestrate()

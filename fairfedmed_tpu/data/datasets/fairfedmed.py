@@ -291,6 +291,38 @@ class FairFedMedDataset:
         attrs = np.asarray(self._attr_rows[i], np.int32)
         return img.astype(np.float32), label, attrs
 
+    def load_item_u8(self, i: int):
+        """Native-uint8 fast path for the device cache decode, or None when
+        this modality needs float processing (resize, min-shift, float
+        sources).  Bit-identical to ``load_item`` followed by the cache's
+        fp32→uint8 round trip — but skips ~4x the memory traffic, which
+        dominates the 1-core host decode of volume datasets (measured 130 s
+        → ~35 s for the 2×256-volume OCT bench fixture)."""
+        m = self.modality_type
+        res = self.resolution
+        if m not in ("slo_fundus", "oct_bscans", "oct_bscans_3d"):
+            return None
+        raw = self._raw_members(i)
+        src = raw["slo_fundus"] if m == "slo_fundus" else raw["oct_bscans"]
+        if src.dtype != np.uint8:
+            return None
+        if m == "slo_fundus":
+            img = np.transpose(src)
+            if img.shape[0] != res or img.shape[1] != res:
+                return None  # needs float interpolation
+            img = img[None]
+            if self.depth > 1:
+                img = np.repeat(img, self.depth, axis=0)
+        elif m == "oct_bscans":
+            img = src[::4]  # 128→32 slices
+            if img.shape[1] != res:
+                return None
+        else:  # oct_bscans_3d
+            img = src[None]
+        label = self._labels[i]
+        attrs = np.asarray(self._attr_rows[i], np.int32)
+        return np.ascontiguousarray(img), label, attrs
+
 
 def _read_filename_column(csv_path: str) -> List[str]:
     import pandas as pd

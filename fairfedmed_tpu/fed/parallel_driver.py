@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import CLIENT_AXIS, DATA_AXIS
 from ..core.pytree import flatten_paths, unflatten_like as _unflatten_like
+from ..utils.profiling import heartbeat, stamp
 from .aggregate import _freqs
 from .parallel import make_client_train_round
 
@@ -177,13 +178,16 @@ class ParallelRoundRunner:
         cache cap (FAIRFEDMED_DEVICE_CACHE_BYTES, default 4 GiB)."""
         if idx in self._data_cache:
             return self._data_cache[idx]
+        stamp(f"device_cache:decode_start client={idx}")
         decoded = self._decode_loader(self.trainer.fed_train_loader_x_dict[idx])
         if decoded is None:
             self._data_cache[idx] = None
             return None
         imgs, labels, attrs = decoded
+        stamp(f"device_cache:decode_done client={idx} ({imgs.nbytes >> 20} MiB)")
         cache = {"img": jax.device_put(imgs),
                  "label": jax.device_put(labels)}
+        stamp(f"device_cache:push_done client={idx}")
         if self._attr_col is not None:
             cache["attr"] = jax.device_put(
                 attrs[:, self._attr_col].astype(np.int32))
@@ -210,26 +214,52 @@ class ParallelRoundRunner:
             # scan steps, matching the sequential loop's zero batches
             return None
         budget_left = self._cache_budget - self._cached_bytes
-        # estimate from ONE item before decoding the whole set — an over-
-        # budget client should not cost a multi-GiB decode just to be refused
-        first = ds.load_item(0)
-        if np.asarray(first[0], np.float32).nbytes * n > budget_left:
-            return None
-        if hasattr(ds, "prefetch"):
-            ds.prefetch(range(1, n))
-        items = [first] + [ds.load_item(i) for i in range(1, n)]
-        imgs = np.stack([it[0] for it in items]).astype(np.float32)
-        if imgs.nbytes > budget_left:
-            return None
-        # Integral-valued pixel sets (uint8 sources: medical NPZ payloads,
-        # CIFAR, image files — anything not float-resized) ride as uint8:
-        # 4x less host->device transfer (the dominant round-0 cost on a
-        # remote-TPU tunnel) and 4x less HBM, exactly equal after the
-        # in-step astype(float32).
-        if imgs.size and 0.0 <= float(imgs.min()) and float(imgs.max()) <= 255.0:
-            as_u8 = imgs.astype(np.uint8)
-            if np.array_equal(imgs, as_u8):
-                imgs = as_u8
+        # Native-uint8 decode protocol (load_item_u8): uint8-source datasets
+        # skip the per-item fp32 conversion, the fp32 stack and the
+        # integrality check below — on the 1-core host that's ~4x the memory
+        # traffic of the payload, the dominant decode cost for volume sets
+        # (measured 130 s → ~35 s at the 2×256-volume OCT fixture).  The
+        # result is bit-identical: the in-step astype(float32) recreates the
+        # exact values the fp32 path would have cached.
+        u8_fn = getattr(ds, "load_item_u8", None)
+        first_u8 = u8_fn(0) if u8_fn is not None else None
+        if first_u8 is not None:
+            if first_u8[0].nbytes * n > budget_left:
+                return None
+            if hasattr(ds, "prefetch"):
+                ds.prefetch(range(1, n))
+            items = [first_u8]
+            for i in range(1, n):
+                items.append(u8_fn(i))
+                heartbeat()  # decode is long legit host work: keep the
+                # tunnel poker from probing mid-decode
+            if any(it is None for it in items):  # heterogeneous set: give up
+                return None
+            imgs = np.stack([it[0] for it in items])
+        else:
+            # estimate from ONE item before decoding the whole set — an over-
+            # budget client should not cost a multi-GiB decode to be refused
+            first = ds.load_item(0)
+            if np.asarray(first[0], np.float32).nbytes * n > budget_left:
+                return None
+            if hasattr(ds, "prefetch"):
+                ds.prefetch(range(1, n))
+            items = [first]
+            for i in range(1, n):
+                items.append(ds.load_item(i))
+                heartbeat()
+            imgs = np.stack([it[0] for it in items]).astype(np.float32)
+            if imgs.nbytes > budget_left:
+                return None
+            # Integral-valued pixel sets (uint8 sources: medical NPZ
+            # payloads, CIFAR, image files — anything not float-resized)
+            # ride as uint8: 4x less host->device transfer (the dominant
+            # round-0 cost on a remote-TPU tunnel) and 4x less HBM, exactly
+            # equal after the in-step astype(float32).
+            if imgs.size and 0.0 <= float(imgs.min()) and float(imgs.max()) <= 255.0:
+                as_u8 = imgs.astype(np.uint8)
+                if np.array_equal(imgs, as_u8):
+                    imgs = as_u8
         labels = np.asarray([it[1] for it in items], np.int32)
         attrs = (np.stack([it[2] for it in items]).astype(np.int32)
                  if items[0][2] is not None else None)
@@ -356,6 +386,7 @@ class ParallelRoundRunner:
         tick = _time.perf_counter
 
         idxs_users = [int(i) for i in idxs_users]
+        stamp(f"round:start epoch={epoch}")
         m = len(idxs_users)
         mesh = self._mesh(m)
         train_fn = self._train_fn(m, fedprox_mu)
@@ -800,6 +831,7 @@ class ParallelRoundRunner:
         tick = _time.perf_counter
         t0 = tick()
 
+        stamp("eval:dispatch_start")
         caches = [self._ensure_eval_cache(i) for i in idxs_users]
         if not caches or any(c is None for c in caches):
             return None

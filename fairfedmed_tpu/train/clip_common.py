@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..core.precision import Policy, policy_from_prec
 from ..models import converter
 from ..models.clip_model import PRESETS, CLIPConfig, init_clip_params
+from ..utils.profiling import stamp
 
 TEST_PRESETS = {
     "test-vit": CLIPConfig(
@@ -104,11 +105,16 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
             params = {"visual": visual, "text": text_full["text"],
                       "logit_scale": text_full["logit_scale"]}
             pretrained = False
-        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, policy.param_dtype), params)
+        # ONE jitted cast program (see the ViT path below: eager per-leaf
+        # casts are hundreds of tunnel round-trips); BN affine + stats stay
+        # fp32 (numerics)
+        params, bn, stats = jax.jit(lambda p, b, s: (
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a, policy.param_dtype), p),
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), b),
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), s),
+        ))(params, bn, stats)
         params["logit_scale"] = jnp.asarray(params["logit_scale"], jnp.float32)
-        # BN affine + stats stay fp32 (numerics)
-        bn = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), bn)
-        stats = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), stats)
+        stamp("clip_bundle:params_cast_done")
         return CLIPBundle(params=params, clip_cfg=clip_cfg, policy=policy,
                           pretrained=pretrained, backbone_type="resnet",
                           rn_cfg=rn_cfg, visual_bn=bn, visual_stats=stats)
@@ -133,12 +139,16 @@ def load_clip_bundle(cfg, prec: str) -> CLIPBundle:
             params = jax.jit(lambda k: init_clip_params(k, clip_cfg))(seed_key)
             pretrained = False
 
-    params = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a, policy.param_dtype), params
-    )
     # storage in param_dtype (the reference keeps fp16 storage with fp32
     # LayerNorm compute); logit_scale is a scalar used in fp32 loss math.
+    # ONE jitted cast program: an eager per-leaf asarray is ~200 device
+    # dispatches, each a remote-TPU tunnel round-trip (latency + stall
+    # exposure); host-numpy leaves (checkpoint path) batch-transfer as jit
+    # arguments the same way.
+    params = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, policy.param_dtype), p))(params)
     params["logit_scale"] = jnp.asarray(params["logit_scale"], jnp.float32)
+    stamp("clip_bundle:params_cast_done")
     return CLIPBundle(params=params, clip_cfg=clip_cfg, policy=policy,
                       pretrained=pretrained, backbone_type="vit")
 

@@ -28,6 +28,7 @@ from ...evaluation import metrics as eval_metrics
 from ...models.clip_model import l2_normalize, text_encode, vit_encode
 from ...models.prompt_learner import assemble_prompts, init_prompt_learner
 from ...ops.sinkhorn import entropic_cot, sinkhorn
+from ...utils.profiling import stamp
 from ...utils.registry import TRAINER_REGISTRY
 from ..clip_common import (
     accuracy_from_logits,
@@ -110,12 +111,14 @@ class GLPOTBase(TrainerX):
         k_pl, k_lora, k_proj = jax.random.split(rng, 3)
 
         print("Building custom CLIP")
+        stamp("build:clip_bundle_done")
         pl_params, self.prompt_state = init_prompt_learner(
             k_pl, classnames, bundle.params["text"]["token_embedding"].astype(jnp.float32),
             bundle.clip_cfg, n_ctx=t.N_CTX, n_prompts=t.N,
             ctx_init=t.CTX_INIT, csc=t.CSC, class_token_position=t.CLASS_TOKEN_POSITION,
         )
 
+        stamp("build:prompt_learner_done")
         trainable = {"prompt_learner": pl_params}
 
         # LayerNorm unfreezing (GLP_OT.py:414-426,444-453): without LoRA,
@@ -160,47 +163,63 @@ class GLPOTBase(TrainerX):
             if bundle.backbone_type == "vit":
                 vw = bundle.clip_cfg.vision_width
                 L = bundle.clip_cfg.vision_layers
-                keys = jax.random.split(k_lora, 2 * L)
-                def stacked(din, dout, key_offset):
-                    per_layer = [
-                        init_lora(keys[key_offset * L + i], din, dout, lc.RANK,
-                                  lora_type=lc.TYPE, num_groups=self.num_groups,
-                                  global_s=lc.GLOBAL_S)
-                        for i in range(L)
-                    ]
-                    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
-                trainable["image_encoder_lora"] = {
-                    "c_fc": stacked(vw, 4 * vw, 0),
-                    "c_proj": stacked(4 * vw, vw, 1),
-                }
+
+                # ONE jitted init program: the eager per-layer loop is ~100
+                # device dispatches (tunnel round-trips on a remote TPU)
+                @jax.jit
+                def _init_vit_lora(k):
+                    keys = jax.random.split(k, 2 * L)
+                    def stacked(din, dout, key_offset):
+                        per_layer = [
+                            init_lora(keys[key_offset * L + i], din, dout, lc.RANK,
+                                      lora_type=lc.TYPE, num_groups=self.num_groups,
+                                      global_s=lc.GLOBAL_S)
+                            for i in range(L)
+                        ]
+                        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+                    return {
+                        "c_fc": stacked(vw, 4 * vw, 0),
+                        "c_proj": stacked(4 * vw, vw, 1),
+                    }
+
+                trainable["image_encoder_lora"] = _init_vit_lora(k_lora)
             else:  # resnet: per-bottleneck 1x1 conv FairLoRA
                 rn = bundle.rn_cfg
-                keys = iter(jax.random.split(k_lora, 4 * sum(rn.layers) + 8))
-                lora_tree = {}
-                inplanes = rn.width
-                for li, nblocks in enumerate(rn.layers):
-                    planes = rn.width * (2 ** li)
-                    blocks = []
-                    for bi in range(nblocks):
-                        blocks.append({
-                            "conv1": init_lora(next(keys), inplanes, planes, lc.RANK,
-                                               lora_type=lc.TYPE, num_groups=self.num_groups,
-                                               global_s=lc.GLOBAL_S),
-                            "conv3": init_lora(next(keys), planes, planes * 4, lc.RANK,
-                                               lora_type=lc.TYPE, num_groups=self.num_groups,
-                                               global_s=lc.GLOBAL_S),
-                        })
-                        inplanes = planes * 4
-                    lora_tree[f"layer{li + 1}"] = blocks
-                trainable["image_encoder_lora"] = lora_tree
-                ed = rn.embed_dim
-                trainable["attnpool_lora"] = {
-                    name: init_lora(next(keys), ed,
-                                    rn.output_dim if name == "c_proj" else ed,
-                                    lc.RANK, lora_type="LoRA")
-                    for name in ("q_proj", "k_proj", "v_proj", "c_proj")
-                }
 
+                # ONE jitted init program (same dispatch-batching rationale as
+                # the ViT branch above)
+                @jax.jit
+                def _init_rn_lora(k):
+                    keys = iter(jax.random.split(k, 4 * sum(rn.layers) + 8))
+                    lora_tree = {}
+                    inplanes = rn.width
+                    for li, nblocks in enumerate(rn.layers):
+                        planes = rn.width * (2 ** li)
+                        blocks = []
+                        for bi in range(nblocks):
+                            blocks.append({
+                                "conv1": init_lora(next(keys), inplanes, planes, lc.RANK,
+                                                   lora_type=lc.TYPE, num_groups=self.num_groups,
+                                                   global_s=lc.GLOBAL_S),
+                                "conv3": init_lora(next(keys), planes, planes * 4, lc.RANK,
+                                                   lora_type=lc.TYPE, num_groups=self.num_groups,
+                                                   global_s=lc.GLOBAL_S),
+                            })
+                            inplanes = planes * 4
+                        lora_tree[f"layer{li + 1}"] = blocks
+                    ed = rn.embed_dim
+                    attnpool = {
+                        name: init_lora(next(keys), ed,
+                                        rn.output_dim if name == "c_proj" else ed,
+                                        lc.RANK, lora_type="LoRA")
+                        for name in ("q_proj", "k_proj", "v_proj", "c_proj")
+                    }
+                    return lora_tree, attnpool
+
+                (trainable["image_encoder_lora"],
+                 trainable["attnpool_lora"]) = _init_rn_lora(k_lora)
+
+        stamp("build:lora_init_done")
         # 3D slice projector (GLP_OT_SVLoRA.py:584-595)
         self.is_3d_input = cfg.DATASET.MODALITY_TYPE in MODALITY_3D
         if self.is_3d_input:
@@ -216,7 +235,9 @@ class GLPOTBase(TrainerX):
         self.frozen = bundle.params
 
         self.tx = build_optimizer(cfg.OPTIM)
-        self.opt_state = self.tx.init(self.trainable)
+        # jitted: optax init is one eager zeros_like PER LEAF otherwise
+        self.opt_state = jax.jit(self.tx.init)(self.trainable)
+        stamp("build:opt_init_done")
         self.lr_sched = build_lr_scheduler(cfg.OPTIM)
         # Reference quirk, reproduced for metric parity: with
         # UNFREEZE_IMAGE_ENCODER the reference registers prompt_learner AND

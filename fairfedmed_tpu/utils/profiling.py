@@ -37,6 +37,42 @@ def profile_trace(log_dir: str):
                 print(f"profiler stop failed ({e})")
 
 
+_last_stamp: List[float] = []
+_heartbeat: List[float] = [time.monotonic()]
+
+
+def heartbeat() -> None:
+    """Record forward progress (cheap, unconditional).  The tunnel poker
+    (utils/tunnel.py) treats a stale heartbeat as a wedged remote-TPU
+    attachment and pokes the relay."""
+    _heartbeat[0] = time.monotonic()
+
+
+def heartbeat_age() -> float:
+    return time.monotonic() - _heartbeat[0]
+
+
+def stamp(label: str) -> None:
+    """One-off phase stamp on STDERR (stdout is contract-bound: the CLI's
+    stdout is golden-pinned and the bench parses its JSON line).  Prints the
+    delta since the previous stamp — used to localize remote-TPU tunnel
+    stalls, which block with ~0 CPU and no log output.  Enabled by
+    FAIRFEDMED_TIMING=1 (which also turns on the per-round fenced timers —
+    ~5% round-rate cost) or FAIRFEDMED_BUILD_STAMPS=1 (stamps only, free:
+    they run once at startup, never inside the measured rounds)."""
+    import os
+    import sys
+
+    heartbeat()  # every stamp site is a progress milestone for the poker
+    if os.environ.get("FAIRFEDMED_TIMING") != "1" \
+            and os.environ.get("FAIRFEDMED_BUILD_STAMPS") != "1":
+        return
+    now = time.perf_counter()
+    delta = f" +{now - _last_stamp[-1]:.1f}s" if _last_stamp else ""
+    _last_stamp[:] = [now]
+    print(f"[timing] {label}{delta}", file=sys.stderr, flush=True)
+
+
 class HostTimers:
     """Named cumulative host timers: ``with timers.timed('round'): ...``."""
 

@@ -183,6 +183,9 @@ def main(args):
         set_random_seed(cfg.SEED)
     setup_logger(cfg.OUTPUT_DIR)
     print_args(args, cfg)
+    # no-op unless FAIRFEDMED_TUNNEL_POKER=1 under an axon relay attachment
+    from fairfedmed_tpu.utils.tunnel import start_tunnel_poker
+    start_tunnel_poker()
 
     local_weights = [[] for _ in range(args.num_users)]
     local_weights_0 = [[] for _ in range(args.num_users)]
