@@ -126,6 +126,7 @@ class DataManager:
 
         self.fed_train_loader_x_dict = {}
         self.fed_test_loader_x_dict = {}
+        warned_sampler = False
         for idx in range(cfg.DATASET.USERS):
             client_ds = dataset.federated_train_x[idx]
             sampler = None
@@ -140,10 +141,13 @@ class DataManager:
                         batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
                         n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
                         n_ins=cfg.DATALOADER.TRAIN_X.N_INS)
-                elif idx == 0:  # warn once, not per client
+                elif not warned_sampler:  # warn once, not per client — but
+                    # on the FIRST affected client, whichever that is
+                    warned_sampler = True
                     print(f"WARNING: sampler {stype!r} requires a Datum-list "
                           f"dataset (.items); {type(client_ds).__name__} has "
-                          "none — falling back to random shuffling")
+                          f"none (client {idx}) — falling back to random "
+                          "shuffling")
             self.fed_train_loader_x_dict[idx] = ClientLoader(
                 client_ds,
                 batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,

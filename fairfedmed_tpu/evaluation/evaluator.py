@@ -50,10 +50,11 @@ class Classification:
         mo = np.asarray(mo, np.float32)
         gt = np.asarray(gt)
         if mo.shape == gt.shape:
-            # binary sigmoid outputs [B]: threshold, don't argmax — argmax
-            # over a 1-D batch collapses it to ONE index (same guard as
-            # Classification_oph.process; the reference's mo.max(1) crashes)
-            pred = (mo >= 0.5).astype(gt.dtype)
+            # binary logit outputs [B]: sigmoid+threshold, don't argmax —
+            # argmax over a 1-D batch collapses it to ONE index (same guard
+            # as Classification_oph.process; the reference's mo.max(1)
+            # crashes)
+            pred = (_sigmoid(mo) >= 0.5).astype(gt.dtype)
         else:
             pred = mo.argmax(-1)
         matches = (pred == gt).astype(np.int64)

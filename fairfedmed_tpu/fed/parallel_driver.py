@@ -223,24 +223,41 @@ class ParallelRoundRunner:
         # exact values the fp32 path would have cached.
         u8_fn = getattr(ds, "load_item_u8", None)
         first_u8 = u8_fn(0) if u8_fn is not None else None
+        items = imgs = None
         if first_u8 is not None:
             if first_u8[0].nbytes * n > budget_left:
                 return None
             if hasattr(ds, "prefetch"):
                 ds.prefetch(range(1, n))
-            items = [first_u8]
+            u8_items = [first_u8]
             for i in range(1, n):
-                items.append(u8_fn(i))
+                it = u8_fn(i)
+                if it is None:
+                    # heterogeneous set (e.g. one mid-set file needs a float
+                    # resize): fall back to the fp32 decode below, which
+                    # handles every item — such a set cached fine before the
+                    # u8 protocol existed and must keep caching
+                    u8_items = None
+                    break
+                u8_items.append(it)
                 heartbeat()  # decode is long legit host work: keep the
                 # tunnel poker from probing mid-decode
-            if any(it is None for it in items):  # heterogeneous set: give up
-                return None
-            imgs = np.stack([it[0] for it in items])
-        else:
+            if u8_items is not None:
+                items = u8_items
+                imgs = np.stack([it[0] for it in items])
+        if items is None:
             # estimate from ONE item before decoding the whole set — an over-
-            # budget client should not cost a multi-GiB decode to be refused
+            # budget client should not cost a multi-GiB decode to be refused.
+            # An integral-valued first item predicts uint8 STORAGE (4x
+            # smaller), so budget the estimate at that size — the exact
+            # post-conversion check below still enforces the real footprint.
             first = ds.load_item(0)
-            if np.asarray(first[0], np.float32).nbytes * n > budget_left:
+            f0 = np.asarray(first[0], np.float32)
+            est = f0.nbytes * n
+            if (f0.size and 0.0 <= float(f0.min()) and float(f0.max()) <= 255.0
+                    and np.array_equal(f0, f0.astype(np.uint8))):
+                est //= 4
+            if est > budget_left:
                 return None
             if hasattr(ds, "prefetch"):
                 ds.prefetch(range(1, n))
@@ -249,8 +266,6 @@ class ParallelRoundRunner:
                 items.append(ds.load_item(i))
                 heartbeat()
             imgs = np.stack([it[0] for it in items]).astype(np.float32)
-            if imgs.nbytes > budget_left:
-                return None
             # Integral-valued pixel sets (uint8 sources: medical NPZ
             # payloads, CIFAR, image files — anything not float-resized)
             # ride as uint8: 4x less host->device transfer (the dominant
@@ -260,6 +275,10 @@ class ParallelRoundRunner:
                 as_u8 = imgs.astype(np.uint8)
                 if np.array_equal(imgs, as_u8):
                     imgs = as_u8
+            # exact footprint check AFTER the u8 conversion: what counts
+            # against the fleet budget is the STORED array, not the decode
+            if imgs.nbytes > budget_left:
+                return None
         labels = np.asarray([it[1] for it in items], np.int32)
         attrs = (np.stack([it[2] for it in items]).astype(np.int32)
                  if items[0][2] is not None else None)

@@ -182,10 +182,12 @@ def main(args):
     if cfg.SEED >= 0:
         set_random_seed(cfg.SEED)
     setup_logger(cfg.OUTPUT_DIR)
-    print_args(args, cfg)
-    # no-op unless FAIRFEDMED_TUNNEL_POKER=1 under an axon relay attachment
+    # no-op unless FAIRFEDMED_TUNNEL_POKER=1 under an axon relay attachment;
+    # started BEFORE print_args — its jax.devices() probe is this process's
+    # first tunnel attach, exactly the stall class the poker exists to clear
     from fairfedmed_tpu.utils.tunnel import start_tunnel_poker
     start_tunnel_poker()
+    print_args(args, cfg)
 
     local_weights = [[] for _ in range(args.num_users)]
     local_weights_0 = [[] for _ in range(args.num_users)]
@@ -317,300 +319,312 @@ def main(args):
         else:
             flush()
 
-    for epoch in range(start_epoch, max_epoch):
-        if args.trainer == "CLIP":
-            # zero-shot eval-only round (federated_main.py:223-267)
-            print("------------local test start-------------")
-            results = []
-            m = max(int(args.frac * args.num_users), 1)
-            idxs_users = np.random.choice(range(args.num_users), m, replace=False)
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights)
-                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-            print("------------local test finish-------------")
-            break
-
-        elif args.model == "fedavg":
-            m = max(int(args.frac * args.num_users), 1)
-            idxs_users = np.random.choice(range(args.num_users), m, replace=False)
-            if runner is not None:
-                all_eval = list(range(cfg.DATASET.USERS))
-                handle = runner.run_round(epoch, list(idxs_users), max_epoch,
-                                          mode="fedavg", eval_users=all_eval,
-                                          deferred=True)
-                flush = _defer_round(
-                    epoch, handle,
-                    [f"idxs_users {idxs_users}",
-                     f"------------local train start epoch: {epoch} -------------"],
-                    [], all_eval, with_auc=False)
-                _schedule_flush(flush, handle["pending_eval"] is not None)
-                continue
-            print("idxs_users", idxs_users)
-            print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            for idx in range(cfg.DATASET.USERS):
-                local_trainer.load_state_dict(global_weights, strict=False)
-                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-
-        elif args.model == "fedprox":
-            m = max(int(args.frac * args.num_users), 1)
-            idxs_users = np.random.choice(range(args.num_users), m, replace=False)
-            if runner is not None:
-                # fedprox evaluates only the round's selected users
-                handle = runner.run_round(epoch, list(idxs_users), max_epoch,
-                                          mode="fedavg",
-                                          fedprox_mu=float(args.mu),
-                                          eval_users=list(idxs_users),
-                                          deferred=True)
-                flush = _defer_round(
-                    epoch, handle,
-                    [f"idxs_users {idxs_users}",
-                     f"------------local train start epoch: {epoch} -------------"],
-                    [], list(idxs_users), with_auc=False)
-                _schedule_flush(flush, handle["pending_eval"] is not None)
-                continue
-            print("idxs_users", idxs_users)
-            print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                    global_weight=global_weights, fedprox=True, mu=args.mu)
-                local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            for idx in idxs_users:
-                local_trainer.load_state_dict(global_weights, strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-
-        elif args.model in {"PromptFL", "FedOTP"}:
-            # global prompt rows aggregated, local rows personalized
-            # (federated_main.py:384-485)
-            if epoch == 0:
-                idxs_users = list(range(cfg.DATASET.USERS))
-            else:
+    try:
+        for epoch in range(start_epoch, max_epoch):
+            if args.trainer == "CLIP":
+                # zero-shot eval-only round (federated_main.py:223-267)
+                print("------------local test start-------------")
+                results = []
                 m = max(int(args.frac * args.num_users), 1)
-                idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
-            if runner is not None:
-                all_eval = list(range(cfg.DATASET.USERS))
-                handle = runner.run_round(epoch, idxs_users, max_epoch,
-                                          mode="prompt_personal",
-                                          eval_users=all_eval, deferred=True)
-                flush = _defer_round(
-                    epoch, handle,
-                    [f"idxs_users {idxs_users}",
-                     f"------------local train start epoch: {epoch} -------------"],
-                    [], all_eval)
-                _schedule_flush(flush, handle["pending_eval"] is not None)
-                continue
-            print("idxs_users", idxs_users)
-            print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
-                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
-                local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
-            print("------------local test start-------------")
-            results = []
-            for idx in range(cfg.DATASET.USERS):
-                local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
-                    [global_prompt, local_weights_1[idx]], axis=0
-                ) if len(local_weights_1[idx]) else global_prompt
-            for idx in range(cfg.DATASET.USERS):
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-
-        elif args.model == "FedOTPLoRA":
-            # FairLoRA: global+local prompts, LoRA on image encoder, EMA
-            # aggregation with group-weighted lora_S (federated_main.py:604-726)
-            if len(args.idxs_users_train) > 0:
-                idxs_users = args.idxs_users_train
-            elif epoch == 0:
-                idxs_users = list(range(cfg.DATASET.USERS))
-            else:
-                m = max(int(args.frac * args.num_users), 1)
-                idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
-            # large-scale eval gating (reference federated_main.py:654-676):
-            # with >= 50 users, per-round testing starts only at epoch 140
-            skip_eval = args.num_users >= 50 and epoch < 140
-            if runner is not None:
-                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                handle = runner.run_round(
-                    epoch, idxs_users, max_epoch, mode="ema_personal",
-                    test_users=all_users,
-                    eval_users=None if skip_eval else all_users,
-                    deferred=True)
-                flush = _defer_round(
-                    epoch, handle,
-                    [f"------------local train start epoch: {epoch} -------------"],
-                    ["Use EMA"], all_users, skip_eval=skip_eval)
-                _schedule_flush(flush, skip_eval
-                                or handle["pending_eval"] is not None)
-                continue
-            print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
-                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
-                                    is_last_client=idx == idxs_users[-1])
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                local_weights[idx] = copy.deepcopy(local_weight)
-            print("------------local train finish epoch:", epoch, "-------------")
-
-            print("Use EMA")
-            global_weights = average_weights_ema(
-                global_weights, local_weights, idxs_users, datanumber_client,
-                datanumber_client_by_attr, epoch, max_epoch,
-                shared_half_s=args.shared_half_s)
-
-            print("------------local test start-------------")
-            results = []
-            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-            for idx in all_users:
-                local_weights_per[idx] = copy.deepcopy(global_weights)
-                if idx in args.idxs_users_train:
-                    # keep local embeddings (reference keeps them only for
-                    # explicitly listed training users, federated_main.py:648-652)
-                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
-                        for k, v in local_weights_1[idx].items():
-                            local_weights_per[idx][k] = v
-            if skip_eval:
-                print("Epoch on server :", epoch)
-                continue
-            for idx in all_users:
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-
-        elif args.model == "FedOTPLinearFT":
-            # global+local prompts, LoRA on image encoder, plain FedAvg over
-            # the FULL state (no EMA); local prompt rows + local lora_S kept
-            # per client (federated_main.py:487-602)
-            if len(args.idxs_users_train) > 0:
-                idxs_users = args.idxs_users_train
-            elif epoch == 0:
-                idxs_users = list(range(cfg.DATASET.USERS))
-            else:
-                m = max(int(args.frac * args.num_users), 1)
-                idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
-            if runner is not None:
-                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-                handle = runner.run_round(epoch, idxs_users, max_epoch,
-                                          mode="fedavg_personal",
-                                          test_users=all_users,
-                                          eval_users=all_users, deferred=True)
-                flush = _defer_round(
-                    epoch, handle,
-                    [f"------------local train start epoch: {epoch} -------------"],
-                    [], all_users)
-                _schedule_flush(flush, handle["pending_eval"] is not None)
-                continue
-            print("------------local train start epoch:", epoch, "-------------")
-            for idx in idxs_users:
-                if epoch == 0:
-                    local_trainer.load_state_dict(global_weights, strict=False)
-                else:
-                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                local_weight = local_trainer.state_dict()
-                local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
-                local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
-                local_weights[idx] = copy.deepcopy(local_weight)
-            print("------------local train finish epoch:", epoch, "-------------")
-            global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
-            print("------------local test start-------------")
-            results = []
-            all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
-            for idx in all_users:
-                local_weights_per[idx] = copy.deepcopy(global_weights)
-                # a client never trained (restricted --idxs_users_train)
-                # has no local rows yet: keep the global ones.  The
-                # reference crashes here (slice-assigning the initial []
-                # at federated_main.py:527-528, a gate its FedOTPLoRA
-                # branch :644 does have); this is the crash-free analogue.
-                if len(local_weights_0[idx]) > 0:
-                    local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
-                if cfg.TRAINER.GLP_OT_LORA.LOCAL_S and local_weights_1[idx]:
-                    for k, v in local_weights_1[idx].items():
-                        local_weights_per[idx][k] = v
-            for idx in all_users:
-                local_trainer.load_state_dict(local_weights_per[idx], strict=False)
-                results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-
-        elif args.model == "local":
-            # no aggregation; single round (federated_main.py:728-773)
-            m = max(int(args.frac * args.num_users), 1)
-            idxs_users = np.random.choice(range(args.num_users), m, replace=False)
-            print("idxs_users", idxs_users)
-            print("------------local train start epoch:", epoch, "-------------")
-            results = []
-            if runner is not None:
-                idxs = [int(i) for i in idxs_users]
-                runner.run_round(epoch, idxs, max_epoch, mode="local_personal",
-                                 test_users=idxs, eval_users=idxs)
-                results = runner.parallel_eval(idxs, epoch)
-                if results is None:
-                    results = []
-                    for idx in idxs:
-                        runner.install_client(idx)
-                        results.append(local_trainer.test(idx=idx, current_epoch=epoch))
-            else:
+                idxs_users = np.random.choice(range(args.num_users), m, replace=False)
                 for idx in idxs_users:
                     local_trainer.load_state_dict(global_weights)
-                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
-                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
-            _summarize(results, start, global_time_list, global_test_acc_list,
-                       global_test_error_list, global_test_f1_list,
-                       global_test_auc_list, global_epoch_list, epoch, with_auc=False)
-            _report_split_client(cfg, args, epoch, [r[0] for r in results])
-            break
-        else:
-            raise NotImplementedError(f"Unknown aggregation model: {args.model}")
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch, with_auc=False)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+                print("------------local test finish-------------")
+                break
 
-        print("Epoch on server :", epoch)
-        print()
+            elif args.model == "fedavg":
+                m = max(int(args.frac * args.num_users), 1)
+                idxs_users = np.random.choice(range(args.num_users), m, replace=False)
+                if runner is not None:
+                    all_eval = list(range(cfg.DATASET.USERS))
+                    handle = runner.run_round(epoch, list(idxs_users), max_epoch,
+                                              mode="fedavg", eval_users=all_eval,
+                                              deferred=True)
+                    flush = _defer_round(
+                        epoch, handle,
+                        [f"idxs_users {idxs_users}",
+                         f"------------local train start epoch: {epoch} -------------"],
+                        [], all_eval, with_auc=False)
+                    _schedule_flush(flush, handle["pending_eval"] is not None)
+                    continue
+                print("idxs_users", idxs_users)
+                print("------------local train start epoch:", epoch, "-------------")
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch, with_auc=False)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+            elif args.model == "fedprox":
+                m = max(int(args.frac * args.num_users), 1)
+                idxs_users = np.random.choice(range(args.num_users), m, replace=False)
+                if runner is not None:
+                    # fedprox evaluates only the round's selected users
+                    handle = runner.run_round(epoch, list(idxs_users), max_epoch,
+                                              mode="fedavg",
+                                              fedprox_mu=float(args.mu),
+                                              eval_users=list(idxs_users),
+                                              deferred=True)
+                    flush = _defer_round(
+                        epoch, handle,
+                        [f"idxs_users {idxs_users}",
+                         f"------------local train start epoch: {epoch} -------------"],
+                        [], list(idxs_users), with_auc=False)
+                    _schedule_flush(flush, handle["pending_eval"] is not None)
+                    continue
+                print("idxs_users", idxs_users)
+                print("------------local train start epoch:", epoch, "-------------")
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                        global_weight=global_weights, fedprox=True, mu=args.mu)
+                    local_weights[idx] = copy.deepcopy(local_trainer.state_dict())
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                for idx in idxs_users:
+                    local_trainer.load_state_dict(global_weights, strict=False)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch, with_auc=False)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+            elif args.model in {"PromptFL", "FedOTP"}:
+                # global prompt rows aggregated, local rows personalized
+                # (federated_main.py:384-485)
+                if epoch == 0:
+                    idxs_users = list(range(cfg.DATASET.USERS))
+                else:
+                    m = max(int(args.frac * args.num_users), 1)
+                    idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+                if runner is not None:
+                    all_eval = list(range(cfg.DATASET.USERS))
+                    handle = runner.run_round(epoch, idxs_users, max_epoch,
+                                              mode="prompt_personal",
+                                              eval_users=all_eval, deferred=True)
+                    flush = _defer_round(
+                        epoch, handle,
+                        [f"idxs_users {idxs_users}",
+                         f"------------local train start epoch: {epoch} -------------"],
+                        [], all_eval)
+                    _schedule_flush(flush, handle["pending_eval"] is not None)
+                    continue
+                print("idxs_users", idxs_users)
+                print("------------local train start epoch:", epoch, "-------------")
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][: args.avg_prompt].copy()
+                    local_weights_1[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_prompt = average_weights(local_weights_0, idxs_users, datanumber_client, islist=True)
+                print("------------local test start-------------")
+                results = []
+                for idx in range(cfg.DATASET.USERS):
+                    local_weights_per[idx]["prompt_learner.ctx"] = np.concatenate(
+                        [global_prompt, local_weights_1[idx]], axis=0
+                    ) if len(local_weights_1[idx]) else global_prompt
+                for idx in range(cfg.DATASET.USERS):
+                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+            elif args.model == "FedOTPLoRA":
+                # FairLoRA: global+local prompts, LoRA on image encoder, EMA
+                # aggregation with group-weighted lora_S (federated_main.py:604-726)
+                if len(args.idxs_users_train) > 0:
+                    idxs_users = args.idxs_users_train
+                elif epoch == 0:
+                    idxs_users = list(range(cfg.DATASET.USERS))
+                else:
+                    m = max(int(args.frac * args.num_users), 1)
+                    idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+                # large-scale eval gating (reference federated_main.py:654-676):
+                # with >= 50 users, per-round testing starts only at epoch 140
+                skip_eval = args.num_users >= 50 and epoch < 140
+                if runner is not None:
+                    all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                    handle = runner.run_round(
+                        epoch, idxs_users, max_epoch, mode="ema_personal",
+                        test_users=all_users,
+                        eval_users=None if skip_eval else all_users,
+                        deferred=True)
+                    flush = _defer_round(
+                        epoch, handle,
+                        [f"------------local train start epoch: {epoch} -------------"],
+                        ["Use EMA"], all_users, skip_eval=skip_eval)
+                    _schedule_flush(flush, skip_eval
+                                    or handle["pending_eval"] is not None)
+                    continue
+                print("------------local train start epoch:", epoch, "-------------")
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True,
+                                        is_last_client=idx == idxs_users[-1])
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                    local_weights[idx] = copy.deepcopy(local_weight)
+                print("------------local train finish epoch:", epoch, "-------------")
+
+                print("Use EMA")
+                global_weights = average_weights_ema(
+                    global_weights, local_weights, idxs_users, datanumber_client,
+                    datanumber_client_by_attr, epoch, max_epoch,
+                    shared_half_s=args.shared_half_s)
+
+                print("------------local test start-------------")
+                results = []
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                for idx in all_users:
+                    local_weights_per[idx] = copy.deepcopy(global_weights)
+                    if idx in args.idxs_users_train:
+                        # keep local embeddings (reference keeps them only for
+                        # explicitly listed training users, federated_main.py:648-652)
+                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                        if cfg.TRAINER.GLP_OT_LORA.LOCAL_S:
+                            for k, v in local_weights_1[idx].items():
+                                local_weights_per[idx][k] = v
+                if skip_eval:
+                    print("Epoch on server :", epoch)
+                    continue
+                for idx in all_users:
+                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+            elif args.model == "FedOTPLinearFT":
+                # global+local prompts, LoRA on image encoder, plain FedAvg over
+                # the FULL state (no EMA); local prompt rows + local lora_S kept
+                # per client (federated_main.py:487-602)
+                if len(args.idxs_users_train) > 0:
+                    idxs_users = args.idxs_users_train
+                elif epoch == 0:
+                    idxs_users = list(range(cfg.DATASET.USERS))
+                else:
+                    m = max(int(args.frac * args.num_users), 1)
+                    idxs_users = list(np.random.choice(range(args.num_users), m, replace=False))
+                if runner is not None:
+                    all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                    handle = runner.run_round(epoch, idxs_users, max_epoch,
+                                              mode="fedavg_personal",
+                                              test_users=all_users,
+                                              eval_users=all_users, deferred=True)
+                    flush = _defer_round(
+                        epoch, handle,
+                        [f"------------local train start epoch: {epoch} -------------"],
+                        [], all_users)
+                    _schedule_flush(flush, handle["pending_eval"] is not None)
+                    continue
+                print("------------local train start epoch:", epoch, "-------------")
+                for idx in idxs_users:
+                    if epoch == 0:
+                        local_trainer.load_state_dict(global_weights, strict=False)
+                    else:
+                        local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                    local_weight = local_trainer.state_dict()
+                    local_weights_0[idx] = local_weight["prompt_learner.ctx"][args.avg_prompt : args.num_prompt].copy()
+                    local_weights_1[idx] = {k: v.copy() for k, v in local_weight.items() if "lora_S" in k}
+                    local_weights[idx] = copy.deepcopy(local_weight)
+                print("------------local train finish epoch:", epoch, "-------------")
+                global_weights = average_weights(local_weights, list(idxs_users), datanumber_client)
+                print("------------local test start-------------")
+                results = []
+                all_users = args.idxs_users_test or list(range(cfg.DATASET.USERS))
+                for idx in all_users:
+                    local_weights_per[idx] = copy.deepcopy(global_weights)
+                    # a client never trained (restricted --idxs_users_train)
+                    # has no local rows yet: keep the global ones.  The
+                    # reference crashes here (slice-assigning the initial []
+                    # at federated_main.py:527-528, a gate its FedOTPLoRA
+                    # branch :644 does have); this is the crash-free analogue.
+                    if len(local_weights_0[idx]) > 0:
+                        local_weights_per[idx]["prompt_learner.ctx"][args.avg_prompt : args.num_prompt] = local_weights_0[idx]
+                    if cfg.TRAINER.GLP_OT_LORA.LOCAL_S and local_weights_1[idx]:
+                        for k, v in local_weights_1[idx].items():
+                            local_weights_per[idx][k] = v
+                for idx in all_users:
+                    local_trainer.load_state_dict(local_weights_per[idx], strict=False)
+                    results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+
+            elif args.model == "local":
+                # no aggregation; single round (federated_main.py:728-773)
+                m = max(int(args.frac * args.num_users), 1)
+                idxs_users = np.random.choice(range(args.num_users), m, replace=False)
+                print("idxs_users", idxs_users)
+                print("------------local train start epoch:", epoch, "-------------")
+                results = []
+                if runner is not None:
+                    idxs = [int(i) for i in idxs_users]
+                    runner.run_round(epoch, idxs, max_epoch, mode="local_personal",
+                                     test_users=idxs, eval_users=idxs)
+                    results = runner.parallel_eval(idxs, epoch)
+                    if results is None:
+                        results = []
+                        for idx in idxs:
+                            runner.install_client(idx)
+                            results.append(local_trainer.test(idx=idx, current_epoch=epoch))
+                else:
+                    for idx in idxs_users:
+                        local_trainer.load_state_dict(global_weights)
+                        local_trainer.train(idx=int(idx), global_epoch=epoch, is_fed=True)
+                        results.append(local_trainer.test(idx=int(idx), current_epoch=epoch))
+                _summarize(results, start, global_time_list, global_test_acc_list,
+                           global_test_error_list, global_test_f1_list,
+                           global_test_auc_list, global_epoch_list, epoch, with_auc=False)
+                _report_split_client(cfg, args, epoch, [r[0] for r in results])
+                break
+            else:
+                raise NotImplementedError(f"Unknown aggregation model: {args.model}")
+
+            print("Epoch on server :", epoch)
+            print()
+    except BaseException:
+        # a failure while round r+1 dispatches must not lose round r's
+        # already-computed output block and its due round checkpoint:
+        # resolve the parked flush, then let the original error surface
+        if pending_flush is not None:
+            _flush_r, pending_flush = pending_flush, None
+            try:
+                _flush_r()
+            except Exception:
+                pass  # never mask the original failure
+        raise
 
     if pending_flush is not None:  # resolve the final deferred round
         pending_flush()

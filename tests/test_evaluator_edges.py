@@ -34,10 +34,12 @@ def test_classification_oph_empty_set_zeroed():
 
 
 def test_classification_1d_binary_outputs_threshold_not_argmax():
-    """argmax(-1) over a 1-D sigmoid batch collapses it to ONE index; the
-    plain evaluator must threshold like Classification_oph does."""
+    """argmax(-1) over a 1-D LOGIT batch collapses it to ONE index; the
+    plain evaluator must sigmoid+threshold exactly like Classification_oph
+    (the engine hands raw model logits to both).  Includes a logit in
+    (0, 0.5): raw-value thresholding at 0.5 misclassifies it as negative."""
     ev = _evaluator("Classification")
-    mo = np.array([0.9, 0.2, 0.8], np.float32)
+    mo = np.array([2.0, -1.5, 0.3], np.float32)  # sigmoid: .88, .18, .57
     gt = np.array([1, 0, 1])
     ev.process(mo, gt)
     r = ev.evaluate()

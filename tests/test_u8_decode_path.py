@@ -96,3 +96,58 @@ def test_decode_loader_u8_respects_budget(fixture_root):
     r = _runner()
     r._cache_budget = 10  # smaller than one uint8 item
     assert r._decode_loader(_Loader(ds)) is None
+
+
+class _Loader:
+    transform = None
+    sampler = None
+
+    def __init__(self, ds):
+        self.dataset = ds
+
+
+def test_decode_loader_falls_back_on_heterogeneous_u8(fixture_root):
+    """A set where load_item_u8 works for item 0 but not a later item must
+    still cache via the fp32 path (it cached fine before the u8 protocol)."""
+    inner = _ds(fixture_root, "oct_bscans")
+
+    class Hetero:
+        def __len__(self):
+            return len(inner)
+
+        def load_item(self, i):
+            return inner.load_item(i)
+
+        def load_item_u8(self, i):
+            return inner.load_item_u8(i) if i == 0 else None
+
+    imgs, labels, attrs = _runner()._decode_loader(_Loader(Hetero()))
+    assert imgs is not None
+    # fp32 decode is integral here, so the cache still stores uint8 — but
+    # crucially it exists, with values identical to the per-item fp32 decode
+    ref = np.stack([inner.load_item(i)[0] for i in range(len(inner))])
+    np.testing.assert_array_equal(np.asarray(imgs, np.float32), ref)
+
+
+def test_decode_loader_budget_counts_stored_u8_size(fixture_root):
+    """Without the u8 protocol, an integral-pixel set is STORED as uint8 —
+    the budget must admit it whenever the uint8 footprint fits, even though
+    the transient fp32 decode is 4x larger."""
+    inner = _ds(fixture_root, "oct_bscans")
+
+    class NoU8:
+        def __len__(self):
+            return len(inner)
+
+        def load_item(self, i):
+            return inner.load_item(i)
+
+    n = len(inner)
+    u8_bytes = inner.load_item_u8(0)[0].nbytes * n
+    r = _runner()
+    # budget admits the uint8 footprint but NOT the fp32 decode size
+    r._cache_budget = u8_bytes * 2
+    assert u8_bytes * 2 < u8_bytes * 4
+    imgs, labels, attrs = r._decode_loader(_Loader(NoU8()))
+    assert imgs.dtype == np.uint8
+    assert imgs.nbytes <= r._cache_budget
