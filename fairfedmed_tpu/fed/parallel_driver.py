@@ -224,20 +224,26 @@ class ParallelRoundRunner:
         u8_fn = getattr(ds, "load_item_u8", None)
         first_u8 = u8_fn(0) if u8_fn is not None else None
         items = imgs = None
+        fb_start = 1  # fp32-loop start index (past any reused u8 prefix)
+        prefetched = False
         if first_u8 is not None:
             if first_u8[0].nbytes * n > budget_left:
                 return None
             if hasattr(ds, "prefetch"):
                 ds.prefetch(range(1, n))
+                prefetched = True
             u8_items = [first_u8]
             for i in range(1, n):
                 it = u8_fn(i)
                 if it is None:
                     # heterogeneous set (e.g. one mid-set file needs a float
-                    # resize): fall back to the fp32 decode below, which
-                    # handles every item — such a set cached fine before the
-                    # u8 protocol existed and must keep caching
-                    u8_items = None
+                    # resize): REUSE the already-decoded u8 prefix (its fp32
+                    # values are bit-identical by the protocol contract) and
+                    # continue with the general loader from the break index —
+                    # restarting from item 0 would re-pay the whole decode
+                    # (prefetch tickets for consumed items are popped)
+                    stamp(f"device_cache:u8_fallback at item {i}/{n}")
+                    items, fb_start, u8_items = u8_items, i, None
                     break
                 u8_items.append(it)
                 heartbeat()  # decode is long legit host work: keep the
@@ -245,27 +251,28 @@ class ParallelRoundRunner:
             if u8_items is not None:
                 items = u8_items
                 imgs = np.stack([it[0] for it in items])
-        if items is None:
+        if imgs is None:
             # estimate from ONE item before decoding the whole set — an over-
             # budget client should not cost a multi-GiB decode to be refused.
             # An integral-valued first item predicts uint8 STORAGE (4x
             # smaller), so budget the estimate at that size — the exact
             # post-conversion check below still enforces the real footprint.
-            first = ds.load_item(0)
-            f0 = np.asarray(first[0], np.float32)
+            if items is None:
+                items = [ds.load_item(0)]
+            f0 = np.asarray(items[0][0], np.float32)
             est = f0.nbytes * n
             if (f0.size and 0.0 <= float(f0.min()) and float(f0.max()) <= 255.0
                     and np.array_equal(f0, f0.astype(np.uint8))):
                 est //= 4
             if est > budget_left:
                 return None
-            if hasattr(ds, "prefetch"):
+            if hasattr(ds, "prefetch") and not prefetched:
                 ds.prefetch(range(1, n))
-            items = [first]
-            for i in range(1, n):
+            for i in range(fb_start, n):
                 items.append(ds.load_item(i))
                 heartbeat()
-            imgs = np.stack([it[0] for it in items]).astype(np.float32)
+            imgs = np.stack([np.asarray(it[0], np.float32)
+                             for it in items])
             # Integral-valued pixel sets (uint8 sources: medical NPZ
             # payloads, CIFAR, image files — anything not float-resized)
             # ride as uint8: 4x less host->device transfer (the dominant

@@ -345,13 +345,15 @@ def text_encode(
     """
     text = params["text"]
     x = prompt_embeds.astype(policy.compute_dtype)
-    try:  # static only: a traced eot_indices (no known case) skips truncation
+    if isinstance(eot_indices, jax.core.Tracer):
+        # traced indices (no known caller does this) can't be truncated on:
+        # fall through with the full context rather than guessing a bound
+        l_eff = x.shape[1]
+    else:
         import numpy as _np
 
         l_eff = int(_np.max(_np.asarray(eot_indices))) + 1
         l_eff = min(x.shape[1], max(8, -(-l_eff // 8) * 8))  # lane-align
-    except Exception:
-        l_eff = x.shape[1]
     if l_eff < x.shape[1]:
         x = x[:, :l_eff]
     x = x + text["positional_embedding"][: x.shape[1]].astype(x.dtype)

@@ -622,8 +622,11 @@ def main(args):
             _flush_r, pending_flush = pending_flush, None
             try:
                 _flush_r()
-            except Exception:
-                pass  # never mask the original failure
+            except Exception as flush_err:
+                # never mask the original failure, but don't silently drop
+                # round r's output block / checkpoint either: leave a trace
+                print(f"deferred round flush failed during error unwind: "
+                      f"{flush_err!r}", file=sys.stderr)
         raise
 
     if pending_flush is not None:  # resolve the final deferred round

@@ -107,26 +107,36 @@ class _Loader:
 
 
 def test_decode_loader_falls_back_on_heterogeneous_u8(fixture_root):
-    """A set where load_item_u8 works for item 0 but not a later item must
-    still cache via the fp32 path (it cached fine before the u8 protocol)."""
+    """A set where load_item_u8 works for a prefix but not a later item must
+    still cache via the fp32 path (it cached fine before the u8 protocol) —
+    and must REUSE the already-decoded u8 prefix rather than re-decoding it
+    (the prefetch tickets for consumed items are gone, so a restart re-reads
+    the NPZ files: up to double the decode the fast path exists to avoid)."""
     inner = _ds(fixture_root, "oct_bscans")
+    break_at = 2
+    fp32_calls = []
 
     class Hetero:
         def __len__(self):
             return len(inner)
 
         def load_item(self, i):
+            fp32_calls.append(i)
             return inner.load_item(i)
 
         def load_item_u8(self, i):
-            return inner.load_item_u8(i) if i == 0 else None
+            return inner.load_item_u8(i) if i < break_at else None
 
     imgs, labels, attrs = _runner()._decode_loader(_Loader(Hetero()))
     assert imgs is not None
+    # the u8 prefix [0, break_at) is reused, not re-decoded via load_item
+    assert fp32_calls == list(range(break_at, len(inner)))
     # fp32 decode is integral here, so the cache still stores uint8 — but
     # crucially it exists, with values identical to the per-item fp32 decode
     ref = np.stack([inner.load_item(i)[0] for i in range(len(inner))])
     np.testing.assert_array_equal(np.asarray(imgs, np.float32), ref)
+    np.testing.assert_array_equal(
+        labels, np.asarray([inner.load_item(i)[1] for i in range(len(inner))]))
 
 
 def test_decode_loader_budget_counts_stored_u8_size(fixture_root):
