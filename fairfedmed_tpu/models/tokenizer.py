@@ -4,18 +4,25 @@ Functionally equivalent to the reference tokenizer (clip/simple_tokenizer.py:62-
 clip/clip.py:185-220): same public vocabulary (OpenAI's 16e6 merge table, a public
 data asset bundled under ``assets/``), same 77-token context with SOT/EOT markers.
 
-Implementation note: the reference pipes text through ``ftfy.fix_text``; ftfy is not
-available here, so we apply the same html-unescape + whitespace normalisation.  For
-the ASCII class names used by every dataset in this framework the outputs are
-identical.
+Implementation note: the reference pipes text through ``ftfy.fix_text``
+(clip/simple_tokenizer.py:6,51); ftfy is not available in this environment, so
+``fix_text_lite`` vendors the deterministic subset of its default pipeline
+(html auto-unescape, terminal escapes, cp1252/latin-1 mojibake repair, latin
+ligatures, full/half-width forms, curly quotes, unicode line breaks, lone
+surrogates, control chars, NFC).  For the ASCII class names used by every
+dataset in this framework the outputs are byte-identical to the reference;
+the remaining divergence surface (ftfy's heuristic badness-scored encoding
+repairs on ambiguous non-ASCII text) is pinned by tests/test_tokenizer.py.
 """
 
 from __future__ import annotations
 
+import codecs
 import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import List, Union
 
 import numpy as np
@@ -55,7 +62,111 @@ def _symbol_pairs(word: tuple) -> set:
     return {(a, b) for a, b in zip(word[:-1], word[1:])}
 
 
+# --- ftfy.fix_text subset (reference: clip/simple_tokenizer.py:50-53) -----
+# ANSI/VT100 escapes (ftfy remove_terminal_escapes)
+_TERMINAL_ESCAPES = re.compile(r"\x1b\[((?:\d|;)*)([a-zA-Z])")
+# curly quotes (ftfy uncurl_quotes)
+_SINGLE_QUOTES = re.compile("[\u2018-\u201b]")
+_DOUBLE_QUOTES = re.compile("[\u201c-\u201f]")
+# unicode line/paragraph separators, NEL, VT, FF, CRLF/CR (ftfy fix_line_breaks)
+_LINE_BREAKS = re.compile("\r\n|[\r\x0b\x0c\x85\u2028\u2029]")
+# C0 controls except \t\n, plus DEL (ftfy remove_control_chars core set;
+# \v \f \r are gone by the time this runs — fix_line_breaks maps them to \n)
+_CONTROL_CHARS = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+_SURROGATES = re.compile("[\ud800-\udbff][\udc00-\udfff]|[\ud800-\udfff]")
+# latin ligatures (ftfy fix_latin_ligatures table)
+_LIGATURES = {ord("Ĳ"): "IJ", ord("ĳ"): "ij", ord("ﬀ"): "ff", ord("ﬁ"): "fi",
+              ord("ﬂ"): "fl", ord("ﬃ"): "ffi", ord("ﬄ"): "ffl",
+              ord("ﬅ"): "ſt", ord("ﬆ"): "st"}
+
+
+@functools.lru_cache()
+def _width_map() -> dict:
+    """Full/half-width → canonical forms (ftfy fix_character_width): every
+    code point whose East-Asian-Width is Fullwidth or Halfwidth, mapped to
+    its NFKC normalization (e.g. ＴＥＳＴ → TEST, ｶﾀｶﾅ → カタカナ)."""
+    table = {}
+    for cp in range(0xFF01, 0xFFEF):
+        ch = chr(cp)
+        if unicodedata.east_asian_width(ch) in ("F", "H"):
+            norm = unicodedata.normalize("NFKC", ch)
+            if norm != ch:
+                table[cp] = norm
+    return table
+
+
+def _non_ascii_count(text: str) -> int:
+    return sum(1 for ch in text if ord(ch) > 0x7F)
+
+
+def _sloppy_cp1252_errors(exc):
+    """ftfy's "sloppy-windows-1252": the five bytes cp1252 leaves undefined
+    (0x81 0x8D 0x8F 0x90 0x9D) round-trip through the C1 controls with the
+    same code points — real-world decoders (and mojibake) treat them so."""
+    obj = exc.object[exc.start:exc.end]
+    if isinstance(obj, str) and all(ch in "\x81\x8d\x8f\x90\x9d" for ch in obj):
+        return bytes(ord(c) for c in obj), exc.end
+    raise exc
+
+
+codecs.register_error("ffm_sloppy_cp1252", _sloppy_cp1252_errors)
+
+
+def _fix_mojibake(text: str, max_passes: int = 3) -> str:
+    """UTF-8-read-as-cp1252/latin-1 repair — the overwhelmingly common
+    mojibake class ftfy's ``fix_encoding`` targets (e.g. "Ã©" → "é",
+    "â€™" → "’").  Conservative acceptance: the byte roundtrip must be
+    exact AND strictly reduce the non-ASCII char count (UTF-8 mojibake
+    always spends ≥2 high chars per real char, so a true repair shrinks;
+    ordinary accented text fails the roundtrip because its cp1252 bytes
+    are not valid UTF-8)."""
+    for _ in range(max_passes):
+        repaired = None
+        for enc in ("windows-1252", "latin-1"):
+            try:
+                candidate = text.encode(enc, "ffm_sloppy_cp1252").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if (candidate != text
+                    and _non_ascii_count(candidate) < _non_ascii_count(text)):
+                repaired = candidate
+                break
+        if repaired is None:
+            return text
+        text = repaired
+    return text
+
+
+def fix_text_lite(text: str) -> str:
+    """Deterministic subset of ``ftfy.fix_text`` (default config), in ftfy's
+    pipeline order.  Identity on printable-ASCII text without HTML entities —
+    i.e. every class name shipped with this framework.  The heuristic
+    encoding fixes ftfy layers on top (badness-scored multi-codec search)
+    are out of scope; ``_fix_mojibake`` covers the dominant cp1252/latin-1
+    case with a stricter acceptance rule."""
+    if "<" not in text:  # ftfy unescape_html="auto": skip markup-ish text
+        text = html.unescape(text)
+    text = _TERMINAL_ESCAPES.sub("", text)
+    if not text.isascii():
+        text = _fix_mojibake(text)
+        text = text.translate(_LIGATURES)
+        text = text.translate(_width_map())
+        text = _SINGLE_QUOTES.sub("'", text)
+        text = _DOUBLE_QUOTES.sub('"', text)
+        text = _SURROGATES.sub(
+            lambda m: (chr(0x10000 + (ord(m.group(0)[0]) - 0xD800) * 0x400
+                           + (ord(m.group(0)[1]) - 0xDC00))
+                       if len(m.group(0)) == 2 else "�"), text)
+    text = _LINE_BREAKS.sub("\n", text)
+    text = _CONTROL_CHARS.sub("", text)
+    if not text.isascii():
+        text = unicodedata.normalize("NFC", text)
+    return text
+
+
 def _clean_text(text: str) -> str:
+    # reference basic_clean + whitespace_clean (clip/simple_tokenizer.py:50-58)
+    text = fix_text_lite(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()
