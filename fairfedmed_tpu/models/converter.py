@@ -93,14 +93,26 @@ def find_checkpoint(backbone_name: str, root: Optional[str] = None) -> Optional[
 
 
 def load_torch_state_dict(path: str) -> dict:
-    import torch
+    """Checkpoint → ``{dotted_name: np.ndarray}``, torch-free on the main
+    path (reference: trainers/GLP_OT_SVLoRA.py:23-43 — ``torch.jit.load``
+    with a ``torch.load`` fallback).
 
-    try:
-        model = torch.jit.load(path, map_location="cpu").eval()
-        sd = model.state_dict()
-    except RuntimeError:
-        sd = torch.load(path, map_location="cpu")
-    return {k: v.cpu().numpy() for k, v in sd.items()}
+    Every public OpenAI checkpoint and every zip-format ``torch.save`` file
+    goes through the pure-numpy reader; torch is imported only for pre-zip
+    legacy pickles (pre-1.6 ``torch.save``), which the OpenAI releases never
+    used."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        from .torchscript_reader import load_state_dict
+
+        return load_state_dict(path)
+    import torch  # legacy non-zip torch.save only
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v.cpu().numpy() for k, v in sd.items() if hasattr(v, "cpu")}
 
 
 def infer_rn_config(sd: dict):

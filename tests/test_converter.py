@@ -113,6 +113,93 @@ def test_load_torch_state_dict(small_cfg, tmp_path):
     np.testing.assert_array_equal(loaded["visual.proj"], sd["visual.proj"])
 
 
+class _TSSub:
+    pass  # placeholder so the torch import stays inside the tests
+
+
+def test_torchscript_reader_matches_torch_jit(tmp_path):
+    """The pure-numpy torchscript reader must reproduce
+    torch.jit.load(...).state_dict() exactly — keys, values, dtypes —
+    on a scripted module shaped like the OpenAI archives (params + buffers
+    + nested submodules, fp16 and fp32 mixed).  Reference loader being
+    replaced: trainers/GLP_OT_SVLoRA.py:23-43."""
+    import torch
+    import torch.nn as nn
+
+    from fairfedmed_tpu.models.torchscript_reader import load_state_dict
+
+    class Sub(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(4)
+            self.proj = nn.Linear(4, 4)
+            self.register_buffer("running_mean", torch.zeros(4))
+
+        def forward(self, x):
+            return self.proj(self.ln_1(x)) + self.running_mean
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.token_embedding = nn.Embedding(7, 4)
+            self.visual = Sub()
+            self.logit_scale = nn.Parameter(torch.ones([]) * 2.0)
+            # OpenAI checkpoints store most weights in fp16
+            self.half_w = nn.Parameter(
+                torch.arange(12, dtype=torch.float16).reshape(3, 4))
+
+        def forward(self, x):
+            return self.visual(self.token_embedding(x)) * self.logit_scale
+
+    path = str(tmp_path / "m.pt")
+    torch.jit.save(torch.jit.script(M()), path)
+    ours = load_state_dict(path)
+    ref = {k: v.numpy() for k, v in torch.jit.load(path).state_dict().items()}
+    assert sorted(ours) == sorted(ref)
+    for k in ref:
+        np.testing.assert_array_equal(ours[k], ref[k])
+        assert ours[k].dtype == ref[k].dtype, k
+
+
+def test_torchscript_reader_strided_views_and_scalars(tmp_path):
+    """Zip-format torch.save: non-contiguous views (offset+stride through a
+    shared storage), 0-d scalars, bool/int dtypes all rebuild exactly."""
+    import torch
+
+    from fairfedmed_tpu.models.torchscript_reader import load_state_dict
+
+    base = torch.arange(48, dtype=torch.float16).reshape(6, 8)
+    sd = {"w": base, "view": base[1:, ::2], "scalar": torch.tensor(2.5),
+          "ints": torch.arange(5), "flags": torch.tensor([True, False])}
+    path = str(tmp_path / "plain.pt")
+    torch.save(sd, path)
+    ours = load_state_dict(path)
+    assert sorted(ours) == sorted(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(ours[k], v.numpy())
+        assert ours[k].dtype == v.numpy().dtype, k
+
+
+def test_load_torch_state_dict_without_torch(small_cfg, tmp_path,
+                                             monkeypatch):
+    """A TPU VM without torch must still ingest real (zip-format)
+    checkpoints: block `import torch` and convert end-to-end."""
+    import sys
+
+    import torch
+
+    sd = make_torch_style_sd(small_cfg, np.random.default_rng(3))
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    # sys.modules[name] = None makes any `import torch` raise ImportError
+    monkeypatch.setitem(sys.modules, "torch", None)
+    loaded = load_torch_state_dict(path)
+    params, cfg = convert_vit_clip(loaded)
+    assert cfg == small_cfg
+    np.testing.assert_array_equal(params["visual"]["proj"], sd["visual.proj"])
+
+
 def test_download_checkpoint_errors(tmp_path):
     with pytest.raises(RuntimeError):
         download_checkpoint("not-a-model")
