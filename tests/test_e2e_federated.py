@@ -74,22 +74,42 @@ def cifar_root(tmp_path_factory):
 
 
 def test_cifar10_promptfl_fedavg(cifar_root, tmp_path):
+    # 3 rounds so the pinned window sees aggregation dynamics (round-2+
+    # drift), not just the first step
     args = _args(
-        model="fedavg", trainer="PromptFL", round=1, num_users=2, frac=1.0,
+        model="fedavg", trainer="PromptFL", round=3, num_users=2, frac=1.0,
         partition="homo", root=cifar_root, output_dir=str(tmp_path / "out"),
         train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-vit",
         config_file="", dataset_config_file="",
         opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 1
-    assert np.isfinite(out["acc"][0])
+    assert len(out["acc"]) == 3
+    assert np.isfinite(out["acc"]).all()
     _check_golden("cifar10_promptfl_fedavg", out)
+
+
+def test_cifar10_promptfl_fedprox(cifar_root, tmp_path):
+    """fedprox branch: proximal-regularized local steps, selected-users-only
+    eval (federated_main.py:304-382 semantics)."""
+    args = _args(
+        model="fedprox", trainer="PromptFL", round=3, num_users=2, frac=1.0,
+        mu=0.01, partition="homo", root=cifar_root,
+        output_dir=str(tmp_path / "prox"),
+        train_batch_size=8, test_batch_size=10, n_ctx=4, backbone="test-vit",
+        config_file="", dataset_config_file="",
+        opts=["DATASET.NAME", "Cifar10", "INPUT.SIZE", "(32, 32)", "SEED", "1"],
+    )
+    out = federated_main.main(args)
+    assert len(out["acc"]) == 3
+    assert np.isfinite(out["acc"]).all()
+    assert out["auc"] == []  # fedprox reports no AUC by branch semantics
+    _check_golden("cifar10_promptfl_fedprox", out)
 
 
 def test_fairfedmed_fairlora_ema(fairfedmed_root, tmp_path):
     args = _args(
-        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=3, num_users=2,
         frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "out2"),
         train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT="None", backbone="test-vit",
@@ -104,14 +124,14 @@ def test_fairfedmed_fairlora_ema(fairfedmed_root, tmp_path):
               "INPUT.PIXEL_STD", "[0.26862954, 0.26130258, 0.27577711]"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 2
-    assert np.isfinite(out["auc"][0])
+    assert len(out["acc"]) == 3
+    assert np.isfinite(out["auc"]).all()
     _check_golden("fairfedmed_fairlora_ema", out)
 
 
 def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
     args = _args(
-        model="FedOTP", trainer="GLP_OT", round=1, num_users=2, frac=1.0,
+        model="FedOTP", trainer="GLP_OT", round=3, num_users=2, frac=1.0,
         root=fairfedmed_root, output_dir=str(tmp_path / "out3"),
         train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT="Sinkhorn", eps=0.1, thresh=1e-3, max_iter=50,
@@ -123,7 +143,7 @@ def test_fairfedmed_glpot_sinkhorn(fairfedmed_root, tmp_path):
               "TEST.EVALUATOR", "Classification_oph"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 1
+    assert len(out["acc"]) == 3
     _check_golden("fairfedmed_glpot_sinkhorn", out)
 
 
@@ -131,7 +151,7 @@ def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
     """FedOTPLinearFT: full-state FedAvg + personal prompts/lora_S
     (federated_main.py:487-602)."""
     args = _args(
-        model="FedOTPLinearFT", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
+        model="FedOTPLinearFT", trainer="GLP_OT_SVLoRA", round=3, num_users=2,
         frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "out4"),
         train_batch_size=4, test_batch_size=6, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT="None", backbone="test-vit",
@@ -144,8 +164,8 @@ def test_fairfedmed_linearft(fairfedmed_root, tmp_path):
               "TEST.EVALUATOR", "Classification_oph"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 2
-    assert np.isfinite(out["acc"][0])
+    assert len(out["acc"]) == 3
+    assert np.isfinite(out["acc"]).all()
     _check_golden("fairfedmed_linearft", out)
 
 
@@ -177,7 +197,7 @@ def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
     proj to pseudo-RGB -> per-slice FairLoRA S repeat -> slice-mean logits
     (GLP_OT_SVLoRA.py:682-690,473-475,754)."""
     args = _args(
-        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=3, num_users=2,
         frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "oct"),
         train_batch_size=2, test_batch_size=2, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT="None", backbone="test-vit",
@@ -191,8 +211,8 @@ def test_fairfedmed_fairlora_oct3d(fairfedmed_root, tmp_path):
               "TEST.EVALUATOR", "Classification_oph"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 1
-    assert np.isfinite(out["acc"][0])
+    assert len(out["acc"]) == 3
+    assert np.isfinite(out["acc"]).all()
     _check_golden("fairfedmed_fairlora_oct3d", out)
 
 
@@ -215,7 +235,7 @@ def test_fairfedmed_fairlora_rn50_oct(fairfedmed_root, tmp_path):
     """RN50 path with 3D OCT: FairLoRA on 1x1 convs, trainable BatchNorm,
     slice projection (scripts/fairfedlora_fairfedmed_oct_rn50.sh shape)."""
     args = _args(
-        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=1, num_users=2,
+        model="FedOTPLoRA", trainer="GLP_OT_SVLoRA", round=2, num_users=2,
         frac=1.0, root=fairfedmed_root, output_dir=str(tmp_path / "rnoct"),
         train_batch_size=2, test_batch_size=2, n_ctx=4, num_prompt=2,
         avg_prompt=1, OT="None", backbone="test-rn",
@@ -229,8 +249,9 @@ def test_fairfedmed_fairlora_rn50_oct(fairfedmed_root, tmp_path):
               "TEST.EVALUATOR", "Classification_oph"],
     )
     out = federated_main.main(args)
-    assert len(out["acc"]) == 1
-    assert np.isfinite(out["acc"][0])
+    assert len(out["acc"]) == 2
+    assert np.isfinite(out["acc"]).all()
+    _check_golden("fairfedmed_fairlora_rn50_oct", out)
 
 
 def test_save_and_resume_checkpoint(cifar_root, tmp_path):
@@ -354,6 +375,7 @@ def test_zero_shot_clip_branch(cifar_root, tmp_path):
     )
     out = federated_main.main(args)
     assert len(out["acc"]) == 1  # breaks after round 0
+    _check_golden("cifar10_clip_zeroshot", out)
 
 
 def test_local_branch(cifar_root, tmp_path):
@@ -368,6 +390,7 @@ def test_local_branch(cifar_root, tmp_path):
     )
     out = federated_main.main(args)
     assert len(out["acc"]) == 1  # breaks after one round
+    _check_golden("cifar10_local", out)
 
 
 def test_promptfl_resnet_backbone(cifar_root, tmp_path):
