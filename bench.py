@@ -4,21 +4,34 @@ Canonical run shape (scripts/fairfedlora_fairfedmed.sh): batch 32, 224×224,
 FairLoRA rank 12 / α 2 on every resblock MLP, 2 prompts × 4 ctx tokens,
 OT=None, fp16→bf16.  Prints ONE JSON line.
 
-Three measured sections, each run in its OWN subprocess with one retry —
-the remote-TPU ("axon") tunnel fails transiently (FAILED_PRECONDITION /
-stalls), and a wedged in-process backend cannot be recovered, only replaced
-(this killed the entire round-2 artifact: BENCH_r02.json rc=1):
+Five measured sections:
 
 * ``step``  — train-step throughput of the flagship model (headline metric)
   plus ``mfu`` (analytic model FLOPs / chip peak).
-* ``round`` — one full federated round through the CLI machinery on the
-  client-parallel mesh path (synthetic FairFedMed fixture: NPZ loading +
-  train + eval + aggregation), the BASELINE.md north-star unit, at the
-  2-client/80-img-per-client fixture.
-* ``round_prod`` — the same round bench at a production-scale fixture
-  (2048 train + 64 test imgs/client, the "thousands of images per site"
-  regime of the real FairFedMed sites), where the fixed per-round cost
-  amortizes; emitted as ``round_prod_imgs_per_sec``.
+* ``round_prod`` — one full federated round through the CLI machinery on the
+  client-parallel mesh path at a production-scale fixture (2048 train + 64
+  test imgs/client, the "thousands of images per site" regime of the real
+  FairFedMed sites); the BASELINE.md north-star unit.
+* ``round_rn50`` — the same round bench with the RN50 backbone.
+* ``round_oct`` — the round bench on 3D OCT volumes (oct_bscans modality).
+* ``round`` — the small 2-client/80-img fixture (latency-dominated; least
+  informative, runs last).
+
+Execution model (round-5 redesign): ALL sections run inside ONE subprocess
+(``BENCH_MODE=all``).  The remote-TPU ("axon") tunnel stalls concentrate at
+each fresh process's FIRST host<->device fetch — measured 42-395 s across
+otherwise-identical warm runs (r05 logs: a warm round_rn50 lost 395 s there
+while probe ops in fresh subprocesses stalled identically) — so one process
+per section risks five independent stall lotteries; r04 lost its RN50 number
+exactly that way ("timeout after 289s").  One combined process pays the
+first-fetch stall AT MOST ONCE.  The child prints one ``{"section": ...}``
+JSON line per completed section; the orchestrator streams them as they
+arrive, merges each into the cumulative record, and prints+flushes the
+merged snapshot after EVERY section (the driver takes the last parseable
+line, so a kill at any point keeps everything completed so far).  On a
+timeout or crash the completed sections are salvaged and a retry child runs
+ONLY the missing ones, with the section that hung rotated to the end so one
+pathological section cannot starve the rest.
 
 ``vs_baseline`` compares against REF_GPU_IMGS_PER_SEC — the PyTorch
 reference's throughput for this exact model/batch on its single-GPU setup.
@@ -35,29 +48,23 @@ reference round loop's fixed costs (federated_main.py:616-726).
 number is ``mfu``.
 
 Env knobs: ``BENCH_MODE=step|round|round_prod|round_oct|round_rn50`` runs one
-section in-process (used by the subprocess fan-out; also handy standalone).
-``BENCH_SKIP_ROUND=1`` skips every round bench, ``BENCH_SKIP_PROD=1`` only
-the production-scale one, ``BENCH_SKIP_OCT=1`` / ``BENCH_SKIP_RN50=1`` the
-OCT-3D volume round and the RN50-backbone round (captured by default).
-
-Budget discipline (round-3 post-mortem: the driver's outer timeout killed the
-whole bench before ONE byte of output — BENCH_r03.json rc=124, empty):
-
-* ``BENCH_BUDGET_S`` (default 1380 s) is a TOTAL wall-clock budget enforced
-  by the orchestrator; each section gets ``min(cap, remaining/sections_left)``
-  and sections that no longer fit are recorded as ``<name>_skipped: "budget"``
-  instead of being attempted.
-* The merged JSON record is printed AND flushed after EVERY section (the
-  driver takes the last parseable line), so a kill at any point still leaves
-  the newest complete snapshot, starting with the headline step number.
+section in-process (handy standalone); ``BENCH_MODE=all`` runs the sections
+named in ``BENCH_SECTIONS`` (comma list) in one process — the orchestrator's
+unit of work.  ``BENCH_SKIP_ROUND=1`` skips every round bench,
+``BENCH_SKIP_PROD=1`` / ``BENCH_SKIP_OCT=1`` / ``BENCH_SKIP_RN50=1`` skip
+individual round sections (captured by default).  ``BENCH_BUDGET_S``
+(default 1380 s) is the TOTAL wall-clock budget.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import tempfile
+import threading
 import time
 
 REF_GPU_IMGS_PER_SEC = 175.0
@@ -76,6 +83,7 @@ ROUND_BASELINE_BASIS = ("derived per fixture: 175 img/s step rate, eval at 3x "
 BATCH = 32
 WARMUP = 3
 ITERS = 50  # ~1.8s measured window — tunnel-noise resistant
+
 
 # chip peak bf16 FLOP/s by device kind (jax device_kind substrings)
 _PEAK_FLOPS = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
@@ -201,18 +209,48 @@ def main(emit=True):
     return record
 
 
+def _ensure_fixture(users: int, n_train: int, n_test: int,
+                    modality: str) -> str:
+    """Build (or reuse) the seeded-deterministic bench fixture; returns its
+    data root.  Cached under /tmp across bench sections, retries, and
+    invocations — the production fixture is 4k NPZ files, minutes to
+    regenerate on the 1-core host.  Built in a tmp dir and atomically renamed
+    so a concurrent bench never sees a half-written cache.  v2: uint8
+    payloads, OCT at full resolution (the 6.6 GB fp32 OCT cache transfer was
+    the dominant round-0 cost over the tunnel)."""
+    import shutil
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fixtures import make_fairfedmed_fixture
+
+    # OCT volumes are generated at the model resolution (no host resize)
+    # so pixels stay integral and the runner's device cache rides uint8;
+    # non-OCT sections keep tiny OCT payloads.
+    oct_kw = (dict(oct_hw=224) if modality.startswith("oct")
+              else dict(oct_depth=4, oct_hw=8))
+    cache = os.path.join(
+        tempfile.gettempdir(), "ffm_bench_fixtures",
+        f"{users}_{n_train}_{n_test}_{modality.split('_')[0]}_v2")
+    if not os.path.isdir(os.path.join(cache, "fairfedmed")):
+        build = tempfile.mkdtemp(prefix="ffmfix_")
+        make_fairfedmed_fixture(build, n_sites=users, n_train=n_train,
+                                n_test=n_test, size=224, **oct_kw)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(build, cache)
+        except OSError:  # lost the race: another process built it
+            shutil.rmtree(build, ignore_errors=True)
+    return cache
+
+
 def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
                modality="slo_fundus", backbone="ViT-B/16", tag="round"):
     """Federated FairLoRA rounds end-to-end (loading+train+eval+agg) through
     the client-parallel mesh path (--parallel_clients); steady-state rate is
     the median of the post-warmup per-round times."""
     import shutil
-    import tempfile
-
-    import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.fixtures import make_fairfedmed_fixture
     import federated_main
 
     work = tempfile.mkdtemp(prefix="benchround_")
@@ -220,31 +258,7 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
     # it would resume the bench fixture from (or prune) a real run's state
     saved_ckpt_env = os.environ.pop("FAIRFEDMED_ROUND_CKPT", None)
     try:
-        # OCT volumes are generated at the model resolution (no host resize)
-        # so pixels stay integral and the runner's device cache rides uint8 —
-        # the 6.6 GB fp32 cache transfer was the dominant round-0 cost over
-        # the tunnel (and the reason round_oct could blow a slow-tunnel
-        # section budget).  Non-OCT sections keep tiny OCT payloads.
-        oct_kw = (dict(oct_hw=224) if modality.startswith("oct")
-                  else dict(oct_depth=4, oct_hw=8))
-        # fixtures are seeded-deterministic: CACHE them across bench sections
-        # and retries (the production fixture is 4k NPZ files, minutes to
-        # regenerate on the 1-core host).  Built in a tmp dir and atomically
-        # renamed so a concurrent bench never sees a half-written cache.
-        # v2: uint8 payloads, OCT at full resolution.
-        cache = os.path.join(
-            tempfile.gettempdir(), "ffm_bench_fixtures",
-            f"{users}_{n_train}_{n_test}_{modality.split('_')[0]}_v2")
-        if not os.path.isdir(os.path.join(cache, "fairfedmed")):
-            build = tempfile.mkdtemp(prefix="ffmfix_")
-            make_fairfedmed_fixture(build, n_sites=users, n_train=n_train,
-                                    n_test=n_test, size=224, **oct_kw)
-            os.makedirs(os.path.dirname(cache), exist_ok=True)
-            try:
-                os.rename(build, cache)
-            except OSError:  # lost the race: another process built it
-                shutil.rmtree(build, ignore_errors=True)
-        data_root = cache
+        data_root = _ensure_fixture(users, n_train, n_test, modality)
         parser = federated_main.build_arg_parser()
         args = parser.parse_args([])
         args.opts = ["DATASET.NAME", "FairFedMed", "INPUT.SIZE", "(224, 224)",
@@ -314,13 +328,11 @@ def main_round(emit=True, users=2, n_train=64, n_test=16, n_rounds=6,
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _selftest_flaky():
-    """Fault-injection mode for testing _run_section's retry: the first
+def _selftest_flaky(emit=True):
+    """Fault-injection section for testing the retry machinery: the first
     invocation (per marker file) dies like a transient tunnel failure, the
     second succeeds.  Used by tests/test_bench_retry.py; never scheduled by
     the orchestrator."""
-    import tempfile
-
     marker = os.path.join(tempfile.gettempdir(),
                           os.environ.get("BENCH_SELFTEST_MARKER",
                                          "bench_selftest_marker"))
@@ -329,90 +341,178 @@ def _selftest_flaky():
         print("simulated transient FAILED_PRECONDITION", file=sys.stderr)
         sys.exit(3)
     os.remove(marker)
-    print(json.dumps({"metric": "selftest", "value": 1.0, "unit": "ok"}))
+    record = {"metric": "selftest", "value": 1.0, "unit": "ok"}
+    if emit:
+        print(json.dumps(record))
+    return record
 
 
-_MODES = {
-    "step": lambda: main(emit=True),
-    "selftest_flaky": _selftest_flaky,
-    "round": lambda: main_round(emit=True),
-    "round_prod": lambda: main_round(emit=True, n_train=2048, n_test=64,
-                                     n_rounds=5, tag="round_prod"),
-    # 256 vols/client amortizes the fixed round latency (the 16+8 smoke
-    # fixture measured latency, not compute: 48 vols/round ~= 0.3 s)
-    "round_oct": lambda: main_round(emit=True, n_train=256, n_test=16,
-                                    n_rounds=5, modality="oct_bscans",
-                                    tag="round_oct"),
+def _selftest_ok(emit=True):
+    """Instant no-op section (tests only)."""
+    record = {"metric": "selftest_ok", "value": 1.0, "unit": "ok"}
+    if emit:
+        print(json.dumps(record))
+    return record
+
+
+def _selftest_hang(emit=True):
+    """Section that never completes (tests only): exercises the
+    orchestrator's salvage-on-timeout path."""
+    time.sleep(3600)
+
+
+# Section registry: name -> fn(emit=False) -> record.  `all` mode and the
+# single-section BENCH_MODEs both dispatch through this.
+_SECTION_FNS = {
+    "step": main,
+    "round": main_round,
+    "round_prod": lambda emit=True: main_round(
+        emit=emit, n_train=2048, n_test=64, n_rounds=5, tag="round_prod"),
     # RN50 at the production-scale fixture (reuses the round_prod fixture
     # cache): the 64+16 smoke fixture measured tunnel-latency spread
     # (280-780 img/s), not the backbone
-    "round_rn50": lambda: main_round(emit=True, n_train=2048, n_test=64,
-                                     n_rounds=5, backbone="RN50",
-                                     tag="round_rn50"),
+    "round_rn50": lambda emit=True: main_round(
+        emit=emit, n_train=2048, n_test=64, n_rounds=5, backbone="RN50",
+        tag="round_rn50"),
+    # 256 vols/client amortizes the fixed round latency (the 16+8 smoke
+    # fixture measured latency, not compute: 48 vols/round ~= 0.3 s)
+    "round_oct": lambda emit=True: main_round(
+        emit=emit, n_train=256, n_test=16, n_rounds=5, modality="oct_bscans",
+        tag="round_oct"),
+    "selftest_flaky": _selftest_flaky,
+    "selftest_ok": _selftest_ok,
+    "selftest_hang": _selftest_hang,
+}
+
+# fixture specs per round section, so `all` mode can prebuild them host-side
+# BEFORE the first device op (fixture generation is pure host work — ~4 s for
+# the 2D production fixture, ~71 s for full-res OCT — and doing it after the
+# TPU connection opens just widens the window a tunnel stall can land in)
+_SECTION_FIXTURES = {
+    "round": (2, 64, 16, "slo_fundus"),
+    "round_prod": (2, 2048, 64, "slo_fundus"),
+    "round_rn50": (2, 2048, 64, "slo_fundus"),
+    "round_oct": (2, 256, 16, "oct_bscans"),
 }
 
 
-# A section attempt shorter than this cannot finish even warm-cache (jit
-# compiles alone are ~40 s over the tunnel); don't bother starting it.
+def main_all():
+    """Run the sections named in BENCH_SECTIONS sequentially in THIS process,
+    printing one ``{"section": ...}``-tagged JSON line per section (flushed —
+    the orchestrator streams them).  One process = at most one first-fetch
+    tunnel stall, and every section after the first starts with a live
+    backend and a warm in-process compile cache."""
+    names = [s for s in os.environ.get("BENCH_SECTIONS", "").split(",") if s]
+    unknown = [s for s in names if s not in _SECTION_FNS]
+    if unknown:
+        sys.exit(f"unknown BENCH_SECTIONS entries: {unknown}")
+    from fairfedmed_tpu.utils.profiling import stamp
+
+    for spec in {(_SECTION_FIXTURES[s]) for s in names
+                 if s in _SECTION_FIXTURES}:
+        _ensure_fixture(*spec)
+        stamp(f"bench_all:fixture_ready {spec}")
+    for name in names:
+        try:
+            rec = _SECTION_FNS[name](emit=False)
+        except SystemExit:
+            raise
+        except Exception as e:  # report and move on: a non-wedging section
+            # failure shouldn't cost the sections behind it
+            rec = {"error": f"{type(e).__name__}: {e}"[:300]}
+        rec = dict(rec or {})
+        rec["section"] = name
+        sys.stdout.write(json.dumps(rec) + "\n")
+        sys.stdout.flush()
+        stamp(f"bench_all:section_done {name}")
+
+
+# A combined attempt shorter than this cannot finish even one warm-cache
+# section (jit compiles alone are ~40 s over the tunnel); don't start it.
 MIN_SECTION_S = 150
 
 
-def _run_section(mode: str, timeout_s: float, remaining_s=None):
-    """Run one measured section in a fresh subprocess; retry ONCE on failure
-    if the budget still allows a full second attempt.
+def _stream_sections(section_names, timeout_s, on_record):
+    """Run a ``BENCH_MODE=all`` child over *section_names*, parsing its
+    stdout JSON lines AS THEY ARRIVE and calling ``on_record(name, rec)`` for
+    each completed section — so the orchestrator can re-emit its merged
+    snapshot live, and a kill at any point loses only the in-flight section.
 
-    A transient tunnel error (FAILED_PRECONDITION, stall) can wedge the
-    in-process TPU backend beyond recovery — a fresh process is the only
-    reliable retry (CLAUDE.md: "the tunnel stalls intermittently — retry once
-    before debugging").  Returns (record | None, attempts, last_error).
-    """
+    Returns ``(done, errors, err)``: *done* = set of section names that
+    produced a record, *errors* = {name: message} for sections that reported
+    a per-section failure, *err* = overall child failure (timeout / nonzero
+    exit) or None."""
     here = os.path.dirname(os.path.abspath(__file__))
-    # build-phase stamps on stderr (free: one-off at startup, outside the
-    # measured rounds) so a timed-out attempt reports WHERE it stalled, and
-    # the tunnel-stall watchdog (utils/tunnel.py) so a wedged relay gets
-    # poked instead of eating the whole section slice
-    env = dict(os.environ, BENCH_MODE=mode, FAIRFEDMED_BUILD_STAMPS="1",
-               FAIRFEDMED_TUNNEL_POKER="1")
-    last_err = None
-    for attempt in (1, 2):
-        if attempt == 2 and remaining_s is not None:
-            # the retry benefits from the compile cache the first attempt
-            # populated but may still be finishing cold work (measured: a
-            # cold-cache round_prod retry needed 575 s of its 600 s slice);
-            # give it up to 1.5x the nominal slice if the budget allows
-            timeout_s = min(max(remaining_s() - 10, MIN_SECTION_S),
-                            timeout_s * 1.5)
+    env = dict(os.environ, BENCH_MODE="all",
+               BENCH_SECTIONS=",".join(section_names),
+               FAIRFEDMED_BUILD_STAMPS="1", FAIRFEDMED_TUNNEL_POKER="1")
+    done, errors, err = set(), {}, None
+    with tempfile.TemporaryFile("w+", prefix="bench_stderr_") as errf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(here, "bench.py")],
+            cwd=here, env=env, stdout=subprocess.PIPE, stderr=errf,
+            text=True)
+        lines: queue.Queue = queue.Queue()
+
+        def _reader():
+            for line in proc.stdout:
+                lines.put(line)
+            lines.put(None)
+
+        threading.Thread(target=_reader, daemon=True).start()
+        deadline = time.monotonic() + timeout_s
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(here, "bench.py")],
-                cwd=here, env=env, capture_output=True, text=True,
-                timeout=timeout_s)
-        except subprocess.TimeoutExpired as e:
-            last_err = f"timeout after {timeout_s:.0f}s"
-            err_txt = e.stderr
-            if isinstance(err_txt, bytes):
-                err_txt = err_txt.decode(errors="replace")
-            lines = (err_txt or "").strip().splitlines()
-            if lines:  # the last build stamp localizes the stall
-                last_err += " | last stderr: " + lines[-1][-200:]
-        else:
-            for line in reversed(proc.stdout.strip().splitlines()):
+            while True:
+                try:
+                    line = lines.get(timeout=max(
+                        0.1, min(5.0, deadline - time.monotonic())))
+                except queue.Empty:
+                    # drain anything the reader buffered before giving up
+                    try:
+                        line = lines.get_nowait()
+                    except queue.Empty:
+                        if time.monotonic() < deadline:
+                            continue
+                        proc.kill()
+                        err = f"timeout after {timeout_s:.0f}s"
+                        errf.seek(0)
+                        tail = errf.read().strip().splitlines()
+                        if tail:  # the last build stamp localizes the stall
+                            err += " | last stderr: " + tail[-1][-200:]
+                        break
+                if line is None:  # child stdout closed
+                    rc = proc.wait(timeout=30)
+                    if rc != 0:
+                        errf.seek(0)
+                        tail = errf.read().strip().splitlines()[-6:]
+                        err = f"rc={rc}: " + " | ".join(tail)[-500:]
+                    break
                 try:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                return rec, attempt, None
-            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
-            last_err = f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
-        if attempt == 1 and remaining_s is not None \
-                and remaining_s() < timeout_s + 10:
-            return None, 1, last_err + " (no budget for retry)"
-    return None, 2, last_err
+                if not isinstance(rec, dict):
+                    continue
+                name = rec.pop("section", None)
+                if name is None:
+                    continue
+                if "error" in rec:
+                    errors[name] = rec["error"]
+                else:
+                    done.add(name)
+                    on_record(name, rec)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            proc.wait(timeout=30)
+    return done, errors, err
 
 
 def orchestrate():
-    """Run all sections as budgeted subprocesses under BENCH_BUDGET_S total
-    wall-clock; print+flush the merged JSON record after EVERY section."""
+    """Run all sections through combined ``BENCH_MODE=all`` children under
+    BENCH_BUDGET_S total wall-clock; print+flush the merged JSON record after
+    EVERY completed section.  Failed/hung sections get ONE retry (in the next
+    child, behind the still-pending ones)."""
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
 
@@ -428,55 +528,31 @@ def orchestrate():
         sys.stdout.write(json.dumps(record) + "\n")
         sys.stdout.flush()
 
-    # priority order: the headline step metric first (flushed immediately, so
-    # even a hard kill right after leaves a usable artifact), then the
-    # north-star production round, then the secondary paths; the small 64+16
-    # fixture (tunnel-latency dominated, least informative) goes last.
-    sections = []
+    # priority order: the headline step metric first (its record is merged
+    # and flushed the moment the child prints it, so even a hard kill right
+    # after leaves a usable artifact), then the north-star production round,
+    # then RN50 (cheaper than OCT, and the one section that has never been
+    # driver-captured — r04), then OCT-3D; the small 64+16 fixture
+    # (tunnel-latency dominated, least informative) goes last.
+    sections = ["step"]
     if os.environ.get("BENCH_SKIP_ROUND") != "1":
         if os.environ.get("BENCH_SKIP_PROD") != "1":
-            sections.append(("round_prod", "round_prod"))
-        if os.environ.get("BENCH_SKIP_OCT") != "1":
-            sections.append(("round_oct", "round_oct"))
+            sections.append("round_prod")
         if os.environ.get("BENCH_SKIP_RN50") != "1":
-            sections.append(("round_rn50", "round_rn50"))
-        sections.append(("round", "round"))
+            sections.append("round_rn50")
+        if os.environ.get("BENCH_SKIP_OCT") != "1":
+            sections.append("round_oct")
+        sections.append("round")
 
-    # headline step section: cap at a third of the budget, leaving room for
-    # the round sections even if the tunnel eats a retry
-    step_rec, attempts, err = _run_section(
-        "step", min(budget / 3, max(remaining() - 10, MIN_SECTION_S)),
-        remaining_s=remaining)
-    if step_rec is not None:
-        record.update(step_rec)
-    else:
-        record["error"] = err  # even a doubly-failed step bench leaves a line
-    if attempts > 1:
-        record["step_retries"] = attempts - 1
-    emit()
-
-    for i, (mode, prefix) in enumerate(sections):
-        # reserve only the minimum viable slice for each LATER section: an
-        # even remaining/sections_left split starves the expensive early
-        # sections (round_prod needs ~200 s warm but a 1080/5 split caps it
-        # at ~250 s — one slow fixture decode away from a spurious timeout),
-        # while later sections reuse the caches the early ones populate
-        share = remaining() - MIN_SECTION_S * (len(sections) - i - 1)
-        if share < MIN_SECTION_S:
-            record[f"{prefix}_skipped"] = "budget"
-            emit()
-            continue
-        rec, attempts, err = _run_section(mode, min(share, 600),
-                                          remaining_s=remaining)
-        if rec is None:
-            record[f"{prefix}_error"] = err
+    def merge(name, rec):
+        if name == "step":
+            record.update(rec)
         else:
-            record[f"{prefix}_imgs_per_sec"] = rec["value"]
-            record[f"{prefix}_vs_baseline"] = rec["vs_baseline"]
-            record[f"{prefix}_baseline_imgs_per_sec"] = rec["baseline_round_imgs_per_sec"]
-            record[f"{prefix}_fixture"] = rec["fixture"]
-        if attempts > 1:
-            record[f"{prefix}_retries"] = attempts - 1
+            record[f"{name}_imgs_per_sec"] = rec["value"]
+            record[f"{name}_vs_baseline"] = rec["vs_baseline"]
+            record[f"{name}_baseline_imgs_per_sec"] = \
+                rec["baseline_round_imgs_per_sec"]
+            record[f"{name}_fixture"] = rec["fixture"]
         if record.get("round_imgs_per_sec") and record.get("value"):
             record["round_vs_step"] = round(
                 record["round_imgs_per_sec"] / record["value"], 4)
@@ -487,6 +563,59 @@ def orchestrate():
                 record["round_vs_baseline_round"] = record[key]
                 break
         emit()
+
+    emit()  # a line exists from second 0: even a kill before the first
+    # section completes leaves a parseable (if empty) record on stdout
+    attempts = {s: 0 for s in sections}
+    errors = {}
+    pending = list(sections)
+    passes = 0
+    while pending and remaining() > MIN_SECTION_S and passes < 4:
+        passes += 1
+        batch = [s for s in pending if attempts[s] < 2]
+        if not batch:
+            break
+        done, errs, err = _stream_sections(
+            batch, max(remaining() - 10, MIN_SECTION_S), merge)
+        for s in done:
+            attempts[s] += 1
+            if attempts[s] > 1:
+                record[f"{s}_retries" if s != "step" else "step_retries"] = \
+                    attempts[s] - 1
+        for s, e in errs.items():
+            attempts[s] += 1
+            errors[s] = e
+        pending = [s for s in pending if s not in done]
+        if not pending:
+            break
+        if err:
+            # the first batch member neither done nor section-errored was in
+            # flight when the child died — charge it and rotate it to the
+            # end so it can't starve the sections behind it
+            in_flight = next(
+                (s for s in batch if s not in done and s not in errs), None)
+            if in_flight is not None:
+                attempts[in_flight] += 1
+                errors[in_flight] = err
+                if in_flight in pending and len(pending) > 1:
+                    pending = [s for s in pending if s != in_flight] \
+                        + [in_flight]
+        elif not errs:
+            # child exited clean but some requested sections never reported
+            # (shouldn't happen) — avoid a silent infinite loop
+            for s in pending:
+                errors.setdefault(s, "section produced no record")
+                attempts[s] += 1
+
+    for s in pending:
+        reason = errors.get(s)
+        if s == "step":
+            record["error"] = reason or "budget"
+        elif reason is not None:
+            record[f"{s}_error"] = reason
+        else:
+            record[f"{s}_skipped"] = "budget"
+    emit()
     return record
 
 
@@ -496,19 +625,22 @@ if __name__ == "__main__":
     # cost ~600 s of compiles cold but ~0 warm — measured round_prod wall
     # time drops 800 s -> 192 s.  /tmp persists across bench invocations on
     # the same host, so the driver's end-of-round run reuses today's cache.
-    import tempfile
-
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(tempfile.gettempdir(), "ffm_xla_cache"))
     mode = os.environ.get("BENCH_MODE", "")
-    if mode:
-        if mode not in _MODES:
-            sys.exit(f"unknown BENCH_MODE={mode!r}; one of {sorted(_MODES)}")
-        # stall watchdog for sections run standalone (the orchestrator's
-        # children start it via federated_main; step mode has no CLI)
+    if mode == "all":
         from fairfedmed_tpu.utils.tunnel import start_tunnel_poker
         start_tunnel_poker()
-        _MODES[mode]()
+        main_all()
+    elif mode:
+        if mode not in _SECTION_FNS:
+            sys.exit(f"unknown BENCH_MODE={mode!r}; "
+                     f"one of {sorted(_SECTION_FNS)} or 'all'")
+        # stall watchdog for sections run standalone (the orchestrator's
+        # children start it via this same path; step mode has no CLI)
+        from fairfedmed_tpu.utils.tunnel import start_tunnel_poker
+        start_tunnel_poker()
+        _SECTION_FNS[mode](emit=True)
     else:
         orchestrate()

@@ -51,10 +51,13 @@ def init_prompt_learner(
     dtype=jnp.float32,
 ):
     """Returns (params {'ctx': ...}, PromptState)."""
+    from ..utils.profiling import stamp
+
     classnames = [name.replace("_", " ") for name in classnames]
     n_cls = len(classnames)
     ctx_dim = token_embedding.shape[1]
     tok = tk.get_tokenizer()
+    stamp("prompt_learner:tokenizer_ready")
 
     def _gather_rows(ids: np.ndarray) -> np.ndarray:
         """token_embedding[ids] -> host float32, gathering ON DEVICE when the
@@ -65,7 +68,10 @@ def init_prompt_learner(
         if isinstance(token_embedding, jax.Array):
             rows = jnp.take(token_embedding.astype(jnp.float32),
                             jnp.asarray(ids), axis=0)
-            return np.asarray(rows, dtype=np.float32)
+            stamp("prompt_learner:gather_dispatched")
+            out = np.asarray(rows, dtype=np.float32)
+            stamp("prompt_learner:rows_fetched")
+            return out
         return np.asarray(token_embedding, dtype=np.float32)[ids]
 
     if ctx_init:
