@@ -363,11 +363,29 @@ class GLPOTBase(TrainerX):
                 else:
                     mixs = [None] * num_slices
                 if num_slices <= 4:
-                    # unrolled: XLA schedules the chunks back-to-back with no
-                    # scan carry/stacking overhead (measured faster than
-                    # lax.map at num_slices=2)
-                    tokens = jnp.concatenate(
-                        [_enc(xs[i], mixs[i]) for i in range(num_slices)])
+                    # unrolled, with an optimization_barrier CHAINING chunk
+                    # i+1's input on chunk i's output: the chunks are
+                    # otherwise independent subgraphs and XLA's latency-
+                    # hiding scheduler interleaves them, which lands the
+                    # step in the slower large-batch regime (saved-residual
+                    # HBM traffic doubles; see the remat frontier table in
+                    # CLAUDE.md).  The barrier forces back-to-back b32
+                    # chunks — measured on v5e at num_slices=2: 944 vs 898
+                    # img-equiv/s unchained (b64 monolith: 840; chunk-level
+                    # jax.checkpoint: 758).  Identity on values (and its
+                    # transpose is a barrier too, so the backward chunks
+                    # stay sequenced) — bit-exact vs the unchained form.
+                    # Still faster than lax.map at num_slices=2 (no carry
+                    # stacking).
+                    outs = []
+                    x_c = xs[0]
+                    for i in range(num_slices):
+                        o = _enc(x_c, mixs[i])
+                        outs.append(o)
+                        if i + 1 < num_slices:
+                            x_c, outs[-1] = jax.lax.optimization_barrier(
+                                (xs[i + 1], o))
+                    tokens = jnp.concatenate(outs)
                 elif attr_mix is not None:
                     tokens = jax.lax.map(lambda a: _enc(*a), (xs, mixs))
                     tokens = tokens.reshape(x.shape[0], *tokens.shape[2:])
