@@ -447,7 +447,11 @@ def _stream_sections(section_names, timeout_s, on_record):
                BENCH_SECTIONS=",".join(section_names),
                FAIRFEDMED_BUILD_STAMPS="1", FAIRFEDMED_TUNNEL_POKER="1")
     done, errors, err = set(), {}, None
-    with tempfile.TemporaryFile("w+", prefix="bench_stderr_") as errf:
+    # errors="replace": a dying child can emit non-UTF-8 on stderr (native
+    # decode pool, truncated multibyte at a cut) — a strict decode here would
+    # crash the orchestrator and lose the already-salvaged sections
+    with tempfile.TemporaryFile("w+", prefix="bench_stderr_",
+                                errors="replace") as errf:
         proc = subprocess.Popen(
             [sys.executable, os.path.join(here, "bench.py")],
             cwd=here, env=env, stdout=subprocess.PIPE, stderr=errf,
@@ -481,7 +485,15 @@ def _stream_sections(section_names, timeout_s, on_record):
                             err += " | last stderr: " + tail[-1][-200:]
                         break
                 if line is None:  # child stdout closed
-                    rc = proc.wait(timeout=30)
+                    try:
+                        rc = proc.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        # stdout closed but teardown wedged (a stalled tunnel
+                        # backend thread can hang atexit): treat as a child
+                        # failure, keep the salvaged sections
+                        proc.kill()
+                        err = "child wedged after stdout EOF (killed)"
+                        break
                     if rc != 0:
                         errf.seek(0)
                         tail = errf.read().strip().splitlines()[-6:]
@@ -504,7 +516,11 @@ def _stream_sections(section_names, timeout_s, on_record):
         finally:
             if proc.poll() is None:
                 proc.kill()
-            proc.wait(timeout=30)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                pass  # already killed; an unreaped zombie must not cost the
+                # merged record (the orchestrator exits soon anyway)
     return done, errors, err
 
 

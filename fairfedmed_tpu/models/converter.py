@@ -106,7 +106,29 @@ def load_torch_state_dict(path: str) -> dict:
     if zipfile.is_zipfile(path):
         from .torchscript_reader import load_state_dict
 
-        return load_state_dict(path)
+        try:
+            return load_state_dict(path)
+        except Exception as e:
+            # the restricted numpy unpickler covers every OpenAI release and
+            # ordinary torch.save shapes; anything it rejects (exotic custom
+            # classes in a wrapper dict) falls back to torch WHEN AVAILABLE,
+            # mirroring the reference's own two-stage loader
+            # (trainers/GLP_OT_SVLoRA.py:23-43: torch.jit.load → torch.load)
+            try:
+                import torch
+            except ImportError:
+                raise e from None
+            print(f"torch-free checkpoint reader failed ({e}); "
+                  f"falling back to torch")
+            try:
+                model = torch.jit.load(path, map_location="cpu").eval()
+                sd = model.state_dict()
+            except Exception:
+                sd = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+                sd = sd["state_dict"]
+            return {k: v.cpu().numpy() for k, v in sd.items()
+                    if hasattr(v, "cpu")}
     import torch  # legacy non-zip torch.save only
 
     sd = torch.load(path, map_location="cpu", weights_only=False)

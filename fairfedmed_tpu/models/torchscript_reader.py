@@ -106,8 +106,25 @@ class _TorchUnpickler(pickle.Unpickler):
         if module == "torch._utils":
             if name == "_rebuild_tensor_v2":
                 return _rebuild_tensor_v2
+            if name == "_rebuild_tensor":  # pre-1.3 layout: v2 minus extras
+                return _rebuild_tensor_v2
             if name == "_rebuild_parameter":
                 return _rebuild_parameter
+        # data-only numpy/stdlib globals that ordinary torch.save checkpoints
+        # carry alongside tensors (np scalars like best_acc, saved argparse
+        # namespaces); the caller filters non-ndarray values afterwards
+        if module in ("numpy._core.multiarray", "numpy.core.multiarray") \
+                and name in ("scalar", "_reconstruct"):
+            import numpy._core.multiarray as _ma
+            return getattr(_ma, name)
+        if module == "numpy" and name in ("dtype", "ndarray"):
+            return getattr(np, name)
+        if module == "argparse" and name == "Namespace":
+            import argparse
+            return argparse.Namespace
+        if module == "_codecs" and name == "encode":
+            import codecs  # numpy scalar pickles route bytes through this
+            return codecs.encode
         if module == "torch":
             if name in _STORAGE_DTYPES:
                 return _StorageType(_STORAGE_DTYPES[name])
