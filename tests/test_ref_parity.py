@@ -18,10 +18,13 @@ process.  Skips when the reference checkout or torch is unavailable.
 
 Tier layout: the slowest axes that only re-verify what the archived
 ``tools/ref_parity.py --all`` run (PARITY_REPORT.json) already covers —
-oct3d, fedchexmimic, cot — are opt-in via ``-m parity_full`` so the default
-full suite stays under ~25 min; vit (flagship), rn50 (ModifiedResNet + BN
-federation), fedprox (PromptFL trainer branch) and clip_zeroshot (eval-only)
-keep every distinct code path in the default tier.
+oct3d, fedchexmimic, cot, and (round 5) rn50, the slowest single test in
+the whole suite at ~230 s — are opt-in via ``-m parity_full``; vit
+(flagship), fedprox (PromptFL trainer branch) and clip_zeroshot (eval-only)
+keep the distinct TRAINER code paths in the default tier.  The RN tower
+keeps default-tier coverage through
+test_parallel_cli.py::test_parallel_matches_sequential_fairlora_rn (BN-stat
+federation) and the test_e2e_federated.py rn50_oct golden.
 
 Reference map: federated_main.py:604-726, trainers/GLP_OT_SVLoRA.py:883-975,
 clip/model.py:11-301 (ModifiedResNet).
@@ -82,6 +85,7 @@ def test_reference_trajectories_match_oct3d(tmp_path):
     assert report["auc_max_delta"] <= 0.01
 
 
+@pytest.mark.parity_full
 def test_reference_trajectories_match_rn50(tmp_path):
     # conv lora (4 layers x 3 convs x A/S/B) + attnpool lora (4 proj x A/B)
     # + BN affine and running stats across stem/blocks/downsample.

@@ -99,3 +99,12 @@ def test_clean_cfg_pops_unrelated(cli):
         ["--trainer", "PromptFL"]))
     assert "PROMPTFL" in cfg.TRAINER
     assert "GLP_OT" not in cfg.TRAINER
+
+
+def test_users_forced_to_one_after_merges(cli, capsys):
+    """A reused federated config carrying DATASET.USERS must not shard the
+    standalone run (review finding: USERS=1 was set before the opts merge)."""
+    cfg = cli.setup_cfg(cli.build_arg_parser().parse_args(
+        ["--trainer", "PromptFL", "DATASET.USERS", "10"]))
+    assert cfg.DATASET.USERS == 1
+    assert "overriding DATASET.USERS=10" in capsys.readouterr().out

@@ -108,8 +108,6 @@ def _fed_defaults(args):
 def setup_cfg(args):
     cfg = get_cfg_default()
     federated_main.extend_cfg(cfg, _fed_defaults(args))
-    # standalone = one site holding the full train split
-    cfg.DATASET.USERS = 1
     if args.dataset_config_file:
         cfg.merge_from_file(args.dataset_config_file)
     if args.config_file:
@@ -117,6 +115,15 @@ def setup_cfg(args):
     reset_cfg(cfg, args)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    # standalone = one site holding the full train split — forced AFTER the
+    # file/opts merges so a reused federated config (DATASET.USERS 10) can't
+    # silently shard the data and train on shard 0 only
+    if cfg.DATASET.USERS != 1:
+        if cfg.DATASET.USERS > 1:
+            print(f"Note: overriding DATASET.USERS={cfg.DATASET.USERS} -> 1 "
+                  "(standalone CLI trains the whole split as one site; use "
+                  "federated_main.py for federated runs)")
+        cfg.DATASET.USERS = 1
     clean_cfg(cfg, args.trainer)
     cfg.freeze()
     return cfg
