@@ -233,21 +233,31 @@ class ParallelRoundRunner:
                 ds.prefetch(range(1, n))
                 prefetched = True
             u8_items = [first_u8]
-            for i in range(1, n):
-                it = u8_fn(i)
-                if it is None:
-                    # heterogeneous set (e.g. one mid-set file needs a float
-                    # resize): REUSE the already-decoded u8 prefix (its fp32
-                    # values are bit-identical by the protocol contract) and
-                    # continue with the general loader from the break index —
-                    # restarting from item 0 would re-pay the whole decode
-                    # (prefetch tickets for consumed items are popped)
-                    stamp(f"device_cache:u8_fallback at item {i}/{n}")
-                    items, fb_start, u8_items = u8_items, i, None
-                    break
-                u8_items.append(it)
-                heartbeat()  # decode is long legit host work: keep the
-                # tunnel poker from probing mid-decode
+            try:
+                for i in range(1, n):
+                    it = u8_fn(i)
+                    if it is None:
+                        # heterogeneous set (e.g. one mid-set file needs a
+                        # float resize): REUSE the already-decoded u8 prefix
+                        # (its fp32 values are bit-identical by the protocol
+                        # contract) and continue with the general loader from
+                        # the break index — restarting from item 0 would
+                        # re-pay the whole decode (prefetch tickets for
+                        # consumed items are popped)
+                        stamp(f"device_cache:u8_fallback at item {i}/{n}")
+                        items, fb_start, u8_items = u8_items, i, None
+                        break
+                    u8_items.append(it)
+                    heartbeat()  # decode is long legit host work: keep the
+                    # tunnel poker from probing mid-decode
+            except BaseException:
+                # a decode failure mid-set (corrupt NPZ member) must not
+                # leak the undrained prefetch tickets' decoded payloads for
+                # the process lifetime (ClientLoader.__iter__ has the same
+                # guard)
+                if hasattr(ds, "clear_prefetch"):
+                    ds.clear_prefetch()
+                raise
             if u8_items is not None:
                 items = u8_items
                 imgs = np.stack([it[0] for it in items])
@@ -265,12 +275,23 @@ class ParallelRoundRunner:
                     and np.array_equal(f0, f0.astype(np.uint8))):
                 est //= 4
             if est > budget_left:
+                # reachable with live tickets only after a u8 mid-set
+                # fallback (the prefetch covered items the u8 loop never
+                # consumed) — drop them before refusing the cache
+                if prefetched and hasattr(ds, "clear_prefetch"):
+                    ds.clear_prefetch()
                 return None
             if hasattr(ds, "prefetch") and not prefetched:
                 ds.prefetch(range(1, n))
-            for i in range(fb_start, n):
-                items.append(ds.load_item(i))
-                heartbeat()
+                prefetched = True
+            try:
+                for i in range(fb_start, n):
+                    items.append(ds.load_item(i))
+                    heartbeat()
+            except BaseException:
+                if prefetched and hasattr(ds, "clear_prefetch"):
+                    ds.clear_prefetch()
+                raise
             imgs = np.stack([np.asarray(it[0], np.float32)
                              for it in items])
             # Integral-valued pixel sets (uint8 sources: medical NPZ
@@ -406,7 +427,6 @@ class ParallelRoundRunner:
         induction are its last-trained rows — the reference's
         ``local_weights_0[idx]`` store (federated_main.py:487-602).
         """
-        import os
         import time as _time
         timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
         tick = _time.perf_counter
@@ -503,8 +523,9 @@ class ParallelRoundRunner:
         if test_users is None or len(test_users) == 0:
             test_users = list(range(self.num_users))
         update_idx = jnp.asarray(np.asarray(test_users, np.int32))
+        ts = set(test_users)
         keep_mask = jnp.asarray(
-            np.asarray([i in self.args.idxs_users_train and i in set(test_users)
+            np.asarray([i in self.args.idxs_users_train and i in ts
                         for i in idxs_users], bool))
 
         # aggregation + personalization + optimizer-state scatter (trained
@@ -530,8 +551,10 @@ class ParallelRoundRunner:
         # the pending dispatch up
         self._pending_eval = (self._eval_dispatch([int(i) for i in eval_users])
                               if eval_users is not None else None)
-        if timing and self._pending_eval is not None:
-            t0 = tick()
+        if self._pending_eval is not None:
+            # epoch tag: parallel_eval must never return one round's logits
+            # labeled as another's under out-of-order deferred resolves
+            self._pending_eval["epoch"] = epoch
 
         # everything up to here was DISPATCH (async under jit): the round's
         # only blocking host work lives in resolve_round.  ``deferred=True``
@@ -837,10 +860,16 @@ class ParallelRoundRunner:
         """
         idxs_users = [int(i) for i in idxs_users]
         pending = getattr(self, "_pending_eval", None)
-        self._pending_eval = None
-        if pending is not None and pending["idxs"] == idxs_users:
-            ctx = pending  # dispatched inside run_round, overlapping the
-            # metrics fetch — the logits may already be computed
+        if pending is not None and pending["idxs"] == idxs_users \
+                and pending.get("epoch") == current_epoch:
+            # dispatched inside run_round(current_epoch), overlapping the
+            # metrics fetch — the logits may already be computed.  The epoch
+            # check keeps an out-of-order deferred caller from receiving a
+            # DIFFERENT round's logits labeled as this one's; a mismatched
+            # pending is left un-consumed and this call evaluates the
+            # runner's current state instead (the non-pipelined semantic).
+            self._pending_eval = None
+            ctx = pending
         else:
             ctx = self._eval_dispatch(idxs_users)
         if ctx is None:
@@ -851,7 +880,6 @@ class ParallelRoundRunner:
         """Assemble the batched eval inputs and DISPATCH the logits program
         (no host sync).  Returns an opaque context for :meth:`_eval_finish`,
         or None when any client lacks a device eval cache."""
-        import os
         import time as _time
         timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
         tick = _time.perf_counter
@@ -906,7 +934,6 @@ class ParallelRoundRunner:
     def _eval_finish(self, ctx, current_epoch: int):
         """Fetch the dispatched logits (one transfer) and run each client's
         evaluator on host."""
-        import os
         import time as _time
         timing = os.environ.get("FAIRFEDMED_TIMING") == "1"
         tick = _time.perf_counter
@@ -954,7 +981,14 @@ class ParallelRoundRunner:
 
         key = "|".join([str(self.num_users), str(self.args.model),
                         str(self.cfg.TRAINER.NAME),
-                        str(self.cfg.MODEL.BACKBONE.NAME)])
+                        str(self.cfg.MODEL.BACKBONE.NAME),
+                        # dataset identity: same model shape trained on a
+                        # different dataset/modality/attribute MUST NOT be
+                        # silently adopted (trainable shapes can be identical
+                        # between e.g. slo_fundus and oct_bscans runs)
+                        str(self.cfg.DATASET.NAME),
+                        str(self.cfg.DATASET.MODALITY_TYPE),
+                        str(getattr(self.args, "attribute_type", ""))])
         return zlib.crc32(key.encode())
 
     def save_round_state(self, directory: str, epoch: int,
@@ -986,7 +1020,6 @@ class ParallelRoundRunner:
         """Delete step_N checkpoints THIS RUN wrote, except ``keep``
         (retention 1).  Steps the runner did not create — another
         experiment's checkpoints in a shared directory — are left alone."""
-        import os
         import shutil
 
         for step in list(self._saved_steps):
@@ -1000,7 +1033,6 @@ class ParallelRoundRunner:
         overrides ``--resume DIR`` (reference federated_main.py:863 parses
         --resume but ships the resume call disabled,
         Dassl/dassl/engine/trainer.py:435-436; here the flag is live)."""
-        import os
 
         return (os.environ.get("FAIRFEDMED_ROUND_CKPT")
                 or (self.cfg.RESUME or None))
@@ -1012,7 +1044,6 @@ class ParallelRoundRunner:
         CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG state is
         not restored — frac-sampled rounds after a resume draw a fresh subset,
         like restarting the reference mid-run would."""
-        import os
 
         ckpt_dir = self._round_ckpt_dir()
         if not ckpt_dir:
