@@ -31,7 +31,10 @@ merged snapshot after EVERY section (the driver takes the last parseable
 line, so a kill at any point keeps everything completed so far).  On a
 timeout or crash the completed sections are salvaged and a retry child runs
 ONLY the missing ones, with the section that hung rotated to the end so one
-pathological section cannot starve the rest.
+pathological section cannot starve the rest.  A stall watch kills a child
+whose stdout goes silent past a per-gap allowance (``FIRST_OUTPUT_STALL_S``
+/ ``OUTPUT_STALL_S``) so a mid-run tunnel wedge costs one allowance, not
+the whole remaining budget — the retry path stays funded.
 
 ``vs_baseline`` compares against REF_GPU_IMGS_PER_SEC — the PyTorch
 reference's throughput for this exact model/batch on its single-GPU setup.
@@ -431,6 +434,22 @@ def main_all():
 # section (jit compiles alone are ~40 s over the tunnel); don't start it.
 MIN_SECTION_S = 150
 
+# Liveness allowances for the stall watch (overridable via
+# BENCH_FIRST_RECORD_STALL_S / BENCH_SECTION_STALL_S): a child whose stdout
+# goes silent for longer than this is wedged (tunnel stall mid-section) and
+# is killed EARLY so the remaining budget funds a retry child — without
+# this, one hang eats the entire remaining budget as its timeout and the
+# rotate-and-retry path is unreachable for timeouts (exactly how r04 lost
+# its RN50 section).  Output lines arrive once per completed section (the
+# round sections redirect their CLI chatter to a file), so the allowances
+# are sized to full-section wall times: before the first line the child
+# pays the fresh-process first-fetch stall (measured 42-395 s) plus cold
+# compiles (measured 269.7 s to the first section record, cold + host-
+# contended); later gaps are one cold section each (worst observed ~350 s
+# incl. a mid-run stall), with headroom for one tunnel-poker recovery.
+FIRST_OUTPUT_STALL_S = 700
+OUTPUT_STALL_S = 600
+
 
 def _stream_sections(section_names, timeout_s, on_record):
     """Run a ``BENCH_MODE=all`` child over *section_names*, parsing its
@@ -440,8 +459,15 @@ def _stream_sections(section_names, timeout_s, on_record):
 
     Returns ``(done, errors, err)``: *done* = set of section names that
     produced a record, *errors* = {name: message} for sections that reported
-    a per-section failure, *err* = overall child failure (timeout / nonzero
-    exit) or None."""
+    a per-section failure, *err* = overall child failure (timeout / stall /
+    nonzero exit) or None.
+
+    Besides the hard *timeout_s* deadline, a STALL WATCH kills the child
+    when its stdout produces nothing for ``OUTPUT_STALL_S`` seconds
+    (``FIRST_OUTPUT_STALL_S`` before the first line, covering the fresh
+    process's first-fetch tunnel stall + cold compiles) — so a mid-run
+    tunnel wedge costs one allowance, not the entire remaining budget, and
+    the orchestrator's rotate-and-retry path stays funded."""
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, BENCH_MODE="all",
                BENCH_SECTIONS=",".join(section_names),
@@ -465,20 +491,34 @@ def _stream_sections(section_names, timeout_s, on_record):
 
         threading.Thread(target=_reader, daemon=True).start()
         deadline = time.monotonic() + timeout_s
+        first_allow = float(os.environ.get(
+            "BENCH_FIRST_OUTPUT_STALL_S", FIRST_OUTPUT_STALL_S))
+        inter_allow = float(os.environ.get(
+            "BENCH_OUTPUT_STALL_S", OUTPUT_STALL_S))
+        last_line_t = time.monotonic()
+        saw_line = False
         try:
             while True:
+                allow = inter_allow if saw_line else first_allow
+                eff_deadline = min(deadline, last_line_t + allow)
                 try:
                     line = lines.get(timeout=max(
-                        0.1, min(5.0, deadline - time.monotonic())))
+                        0.1, min(5.0, eff_deadline - time.monotonic())))
                 except queue.Empty:
                     # drain anything the reader buffered before giving up
                     try:
                         line = lines.get_nowait()
                     except queue.Empty:
-                        if time.monotonic() < deadline:
+                        now = time.monotonic()
+                        if now < eff_deadline:
                             continue
                         proc.kill()
-                        err = f"timeout after {timeout_s:.0f}s"
+                        if now >= deadline:
+                            err = f"timeout after {timeout_s:.0f}s"
+                        else:  # stall watch fired before the hard deadline
+                            err = (f"stalled: no child output for "
+                                   f"{now - last_line_t:.0f}s "
+                                   f"(allowance {allow:.0f}s)")
                         errf.seek(0)
                         tail = errf.read().strip().splitlines()
                         if tail:  # the last build stamp localizes the stall
@@ -499,6 +539,12 @@ def _stream_sections(section_names, timeout_s, on_record):
                         tail = errf.read().strip().splitlines()[-6:]
                         err = f"rc={rc}: " + " | ".join(tail)[-500:]
                     break
+                # ANY child stdout line is liveness (the round sections
+                # redirect their CLI chatter to a file, so in practice a
+                # line arrives once per completed section — the allowances
+                # are sized to full-section gaps, not log cadence)
+                last_line_t = time.monotonic()
+                saw_line = True
                 try:
                     rec = json.loads(line)
                 except json.JSONDecodeError:

@@ -991,6 +991,19 @@ class ParallelRoundRunner:
                         str(getattr(self.args, "attribute_type", ""))])
         return zlib.crc32(key.encode())
 
+    def _run_fingerprint_legacy(self) -> int:
+        """The pre-dataset-identity fingerprint (users/model/trainer/backbone
+        only).  Checkpoints written before the dataset fields were added to
+        :meth:`_run_fingerprint` carry this value; they are still accepted —
+        with a printed caveat — so a long preemptible run is not silently
+        restarted from epoch 0 by a mid-run code upgrade."""
+        import zlib
+
+        key = "|".join([str(self.num_users), str(self.args.model),
+                        str(self.cfg.TRAINER.NAME),
+                        str(self.cfg.MODEL.BACKBONE.NAME)])
+        return zlib.crc32(key.encode())
+
     def save_round_state(self, directory: str, epoch: int,
                          state=None, lr_steps=None) -> str:
         """Checkpoint the device-resident federated state — global + stacked
@@ -1039,9 +1052,10 @@ class ParallelRoundRunner:
 
     def maybe_resume(self) -> int:
         """If the round-checkpoint dir (--resume / FAIRFEDMED_ROUND_CKPT)
-        holds a saved round OF THIS RUN SHAPE (fingerprint:
-        users/model/trainer/backbone), restore it and return the epoch to
-        CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG state is
+        holds a saved round OF THIS RUN SHAPE (fingerprint: users/model/
+        trainer/backbone + dataset/modality/attribute; pre-dataset-identity
+        checkpoints are accepted with a printed caveat), restore it and
+        return the epoch to CONTINUE from (saved epoch + 1); else 0.  Client-sampling RNG state is
         not restored — frac-sampled rounds after a resume draw a fresh subset,
         like restarting the reference mid-run would."""
 
@@ -1073,10 +1087,21 @@ class ParallelRoundRunner:
                     "stacked_o": self.stacked_o, "lr_steps": 0, "epoch": 0,
                     "fingerprint": 0}
         tree = load_pytree(path, template=template)
-        if int(tree["fingerprint"]) != self._run_fingerprint():
-            raise ValueError(
-                "round checkpoint belongs to a different run shape "
-                "(users/model/trainer/backbone mismatch)")
+        fp = int(tree["fingerprint"])
+        if fp != self._run_fingerprint():
+            if fp == self._run_fingerprint_legacy():
+                # written before dataset identity joined the fingerprint:
+                # the run shape matches on users/model/trainer/backbone but
+                # the checkpoint cannot prove its dataset — accept (a code
+                # upgrade must not discard a long run's rounds) and say so
+                print("note: round checkpoint has a pre-dataset-identity "
+                      "fingerprint (users/model/trainer/backbone match; "
+                      "dataset/modality/attribute unverified) — resuming")
+            else:
+                raise ValueError(
+                    "round checkpoint belongs to a different run shape "
+                    "(users/model/trainer/backbone or dataset/modality/"
+                    "attribute mismatch)")
         self.global_t = tree["global_t"]
         self.personal_t = tree["personal_t"]
         self.stacked_o = tree["stacked_o"]

@@ -115,7 +115,10 @@ class _TorchUnpickler(pickle.Unpickler):
         # namespaces); the caller filters non-ndarray values afterwards
         if module in ("numpy._core.multiarray", "numpy.core.multiarray") \
                 and name in ("scalar", "_reconstruct"):
-            import numpy._core.multiarray as _ma
+            try:  # numpy >= 2 spelling; fall back on numpy 1.x hosts
+                import numpy._core.multiarray as _ma
+            except ImportError:
+                import numpy.core.multiarray as _ma
             return getattr(_ma, name)
         if module == "numpy" and name in ("dtype", "ndarray"):
             return getattr(np, name)

@@ -63,6 +63,24 @@ def test_stream_sections_kills_a_hung_child():
     assert err is not None and "timeout" in err
 
 
+def test_stream_sections_stall_watch_fires_before_the_deadline(monkeypatch):
+    # a child that completes one section then goes silent must be killed by
+    # the STALL WATCH well before the hard deadline, so the orchestrator's
+    # remaining budget can fund a retry child — without the watch, a hung
+    # section's timeout eats the entire remaining budget and the
+    # rotate-and-retry path is unreachable (how r04 lost its RN50 section)
+    import time
+
+    monkeypatch.setenv("BENCH_OUTPUT_STALL_S", "4")
+    t0 = time.monotonic()
+    got, done, errors, err = _stream(["selftest_ok", "selftest_hang"],
+                                     timeout_s=600)
+    elapsed = time.monotonic() - t0
+    assert done == {"selftest_ok"}  # completed-before-stall is salvaged
+    assert err is not None and "stalled" in err
+    assert elapsed < 120  # killed by the watch, not the 600 s deadline
+
+
 def test_unknown_mode_is_an_error():
     import subprocess
     import sys

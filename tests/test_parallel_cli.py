@@ -400,6 +400,49 @@ def test_round_state_fingerprint_guards_resume(fairfedmed_root, tmp_path, monkey
     assert len(out2["acc"]) == 2  # started fresh, trained ALL rounds
 
 
+@pytest.mark.smoke
+def test_round_ckpt_legacy_fingerprint_accepted(tmp_path, capsys):
+    """A checkpoint written BEFORE dataset identity joined the fingerprint
+    (users/model/trainer/backbone CRC only) must still resume — a mid-run
+    code upgrade must not silently restart a long preemptible run from
+    epoch 0 — with a printed caveat; any other fingerprint still raises."""
+    import types
+
+    from fairfedmed_tpu.fed.parallel_driver import ParallelRoundRunner
+    from fairfedmed_tpu.train.checkpoint import save_pytree
+
+    r = ParallelRoundRunner.__new__(ParallelRoundRunner)
+    r.num_users = 2
+    r.args = types.SimpleNamespace(model="FedOTPLoRA", attribute_type="race")
+    r.cfg = types.SimpleNamespace(
+        TRAINER=types.SimpleNamespace(NAME="GLP_OT_SVLoRA"),
+        MODEL=types.SimpleNamespace(
+            BACKBONE=types.SimpleNamespace(NAME="ViT-B/16")),
+        DATASET=types.SimpleNamespace(NAME="FairFedMed",
+                                      MODALITY_TYPE="slo_fundus"))
+    r.global_t = {"w": np.zeros(2, np.float32)}
+    r.personal_t = {"w": np.zeros((2, 2), np.float32)}
+    r.stacked_o = {"m": np.zeros((2, 2), np.float32)}
+    r.trainer = types.SimpleNamespace(_lr_steps=0)
+    assert r._run_fingerprint() != r._run_fingerprint_legacy()
+
+    tree = {"global_t": {"w": np.ones(2, np.float32)},
+            "personal_t": {"w": np.ones((2, 2), np.float32)},
+            "stacked_o": {"m": np.ones((2, 2), np.float32)},
+            "lr_steps": 7, "epoch": 3,
+            "fingerprint": r._run_fingerprint_legacy()}
+    path = save_pytree(str(tmp_path / "ck"), tree, step=3)
+    assert r.load_round_state(path) == 3
+    assert r.trainer._lr_steps == 7
+    assert np.all(np.asarray(r.global_t["w"]) == 1.0)
+    assert "pre-dataset-identity" in capsys.readouterr().out
+
+    tree["fingerprint"] = r._run_fingerprint_legacy() ^ 1
+    path2 = save_pytree(str(tmp_path / "ck2"), tree, step=3)
+    with pytest.raises(ValueError, match="different run shape"):
+        r.load_round_state(path2)
+
+
 def test_large_scale_eval_gating(tmp_path):
     """num_users >= 50 skips per-round testing until epoch 140 (reference
     federated_main.py:654-676): with round=2 no eval runs at all, so the

@@ -19,9 +19,11 @@ reference file, both documented inline:
   train.py cannot actually run those trainers for the same reason — its
   empty ``extend_cfg`` is a hook, not a capability.
 * ``clean_cfg`` keeps any ``TRAINER.<X>`` node whose name prefixes the
-  selected trainer (GLP_OT_SVLoRA reads ``TRAINER.GLP_OT``); the reference
-  version (dassl/config/__init__.py:8-21) pops every non-exact match, which
-  is display-only hygiene there because those trainers never run under it.
+  selected trainer (GLP_OT_SVLoRA reads ``TRAINER.GLP_OT``) plus the
+  non-prefix shared nodes in ``_EXTRA_TRAINER_NODES`` (CLIP/Baseline read
+  ``TRAINER.PROMPTFL``); the reference version
+  (dassl/config/__init__.py:8-21) pops every non-exact match, which is
+  display-only hygiene there because those trainers never run under it.
 """
 
 from __future__ import annotations
@@ -57,13 +59,17 @@ _EXTRA_TRAINER_NODES = {
 def clean_cfg(cfg, trainer):
     """Remove other trainers' config nodes (reference
     dassl/config/__init__.py:8-21), keeping the nodes the selected trainer
-    actually reads — see module docstring."""
+    actually reads: any node whose name PREFIXES the trainer name (GLP_OT
+    for GLP_OT_SVLORA — covers future family variants without a table
+    entry), plus the non-prefix shared nodes listed in
+    ``_EXTRA_TRAINER_NODES`` (CLIP/Baseline read TRAINER.PROMPTFL, the
+    GLP_OT family reads TRAINER.GLP_OT_LORA)."""
     if not trainer:
         return
     want = trainer.upper()
     keep = {"NAME", want, *_EXTRA_TRAINER_NODES.get(want, ())}
     for key in list(cfg.TRAINER.keys()):
-        if key not in keep:
+        if key not in keep and not want.startswith(key):
             dict.pop(cfg.TRAINER, key, None)
 
 
