@@ -104,6 +104,14 @@ class ClientLoader:
                     "n_valid": n_valid,
                 }
                 if attrs:
+                    if len(attrs) != len(chunk):
+                        # a mixed None/non-None attr stream would emit an
+                        # attrs array misaligned with img/label rows, silently
+                        # pairing samples with other samples' demographics
+                        raise ValueError(
+                            f"dataset returned attrs for {len(attrs)} of "
+                            f"{len(chunk)} items in one batch; per-item attrs "
+                            "must be uniformly present or uniformly None")
                     batch["attrs"] = np.stack(attrs).astype(np.int32)
                 yield batch
         finally:

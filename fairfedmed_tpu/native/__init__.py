@@ -62,16 +62,46 @@ def _build_candidates():
             continue
         if src_mtime is None:
             continue  # nothing cached and no source to build from
+        # negative-result stamp: a feature build that failed for THIS source
+        # is not retried by every later process (the jpeg attempt otherwise
+        # costs a full g++ launch per process on hosts without libjpeg).
+        # Installing the missing dep later: touch the source or delete the
+        # stamp to retry.
+        stamp = so + ".failed"
+        if os.path.exists(stamp):
+            try:
+                with open(stamp) as f:
+                    if f.read().strip() == repr(src_mtime):
+                        continue
+            except OSError:
+                pass
+        # compile to a private temp name, then atomically publish: a
+        # concurrent process must never dlopen a half-written .so, and a
+        # killed compile must not leave a fresh-mtime truncated artifact
+        # that every later process trusts and fails to load
+        tmp = f"{so}.tmp{os.getpid()}"
         cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17"] + extra[0]
-               + [_SRC, "-o", so, "-lz", "-lpthread"] + extra[1])
+               + [_SRC, "-o", tmp, "-lz", "-lpthread"] + extra[1])
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(tmp, so)
             yield so
         except FileNotFoundError:
-            return  # no compiler at all
+            continue  # no compiler: cached later candidates still serve
         except subprocess.CalledProcessError as e:
             last_err = (e.stderr or "")[-400:]
+            try:
+                with open(stamp, "w") as f:
+                    f.write(repr(src_mtime))
+            except OSError:
+                pass
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     if last_err:
         print(f"[native] build failed, using numpy fallback: {last_err}")
 

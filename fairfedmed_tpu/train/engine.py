@@ -204,9 +204,20 @@ class SimpleTrainer(TrainerBase):
         self.close_writer()
 
     def after_epoch(self, idx, global_epoch, is_last_client):
+        """Per-client grad-only checkpointing (trainer.py:497-521): save at a
+        LOCAL-epoch CHECKPOINT_FREQ cadence or unconditionally at the last
+        local epoch of the round.  The file name carries the FEDERATED round
+        (``epoch{global_epoch}_client{idx}``), so within one round a later
+        qualifying local epoch overwrites the same path and the final state
+        survives — same redundancy the reference has."""
+        last_epoch = (self.epoch + 1) == self.max_epoch
         freq = self.cfg.TRAIN.CHECKPOINT_FREQ
-        if freq > 0 and (global_epoch + 1) % freq == 0:
-            self.save_model(global_epoch, os.path.join(self.output_dir, "checkpoints"), idx=idx)
+        meet_freq = (self.epoch + 1) % freq == 0 if freq > 0 else False
+        if meet_freq or last_epoch:
+            path = self.save_model(
+                global_epoch, os.path.join(self.output_dir, "checkpoints"),
+                idx=idx)
+            print("Save checkpoint to", path)
 
     # -- evaluation --------------------------------------------------------
     def test(self, idx=-1, current_epoch=0, split=None):
@@ -265,8 +276,11 @@ class TrainerX(SimpleTrainer):
         # JPEG decode + transfer with the compiled step
         from ..data.manager import prefetch_to_device
 
+        lr_steps_before = self._lr_steps
+        n_seen = 0
         end = time.time()
         for self.batch_idx, batch in enumerate(prefetch_to_device(loader, size=2)):
+            n_seen += 1
             data_time.update(time.time() - end)
             loss_summary = self.forward_backward(batch)
             batch_time.update(time.time() - end)
@@ -301,6 +315,23 @@ class TrainerX(SimpleTrainer):
                     self.write_scalar(f"train/{name}/{idx}", meter.avg, n_iter)
             self.write_scalar(f"train/lr/{idx}", self.get_current_lr(), n_iter)
             end = time.time()
+
+        # The trainers step the LR schedule on the batch where
+        # (batch_idx + 1) == num_batches — but num_batches = len(loader) is
+        # an ESTIMATE for structured samplers (RandomDomainSampler freezes
+        # its length at construction while each epoch's actual stream
+        # varies, data/manager.py).  If the stream ended short of the
+        # estimate, the gate never fired and the schedule would silently
+        # stall at a stale LR for the rest of the run — step it here
+        # instead.  An empty epoch intentionally does NOT step (matching
+        # the reference's never-firing last-batch gate on an empty loader).
+        if n_seen and self._lr_steps == lr_steps_before:
+            self.update_lr()
+            if getattr(self, "opt_state", None) is not None:
+                from ..optim import set_learning_rate
+
+                self.opt_state = set_learning_rate(
+                    self.opt_state, self.get_current_lr())
 
     def get_current_lr(self) -> float:
         if self.lr_sched is None:

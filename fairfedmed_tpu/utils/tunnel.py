@@ -80,7 +80,10 @@ def start_tunnel_poker(stale_s: float = 60.0, interval_s: float = 20.0):
     ) or _DEFAULT_PORTS
 
     def loop():
-        last_probe = 0.0
+        # None, not 0.0: time.monotonic() is host uptime on Linux, so a
+        # bench launched within 120 s of boot would otherwise suppress the
+        # first escalation probe exactly in the first-fetch stall window
+        last_probe = None
         while True:
             time.sleep(interval_s)
             age = heartbeat_age()
@@ -94,7 +97,8 @@ def start_tunnel_poker(stale_s: float = 60.0, interval_s: float = 20.0):
             # seconds — escalate after one more interval, re-probing at
             # most every 120 s while the stall persists
             now = time.monotonic()
-            if age > stale_s + interval_s and now - last_probe > 120.0:
+            if age > stale_s + interval_s and (
+                    last_probe is None or now - last_probe > 120.0):
                 last_probe = now
                 print("[tunnel-poker] stall persists; running a probe "
                       "device op in a subprocess", file=sys.stderr, flush=True)
