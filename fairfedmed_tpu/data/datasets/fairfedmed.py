@@ -30,6 +30,12 @@ MED_ATTRIBUTES = ("race", "language", "ethnicity", "gender", "maritalstatus", "h
 
 
 def _resize2d(img: np.ndarray, res: int) -> np.ndarray:
+    """Bilinear resize, standing in for the reference's
+    ``skimage.transform.resize`` (data_utils.py:16) — a DOCUMENTED
+    divergence (PARITY.md §2.5): skimage is not in this image, so cv2's
+    half-pixel-centered bilinear is used instead.  Interior pixels agree to
+    float rounding; deltas concentrate at edges (reflect vs clamp) and on
+    downscales (skimage anti-aliases, cv2.INTER_LINEAR does not)."""
     return cv2.resize(img.astype(np.float32), (res, res), interpolation=cv2.INTER_LINEAR)
 
 
@@ -103,7 +109,17 @@ class FairFedMedDataset:
             self.data_files.append(fname)
             self.data_attrs.append(attr)
             self._labels.append(meta["label"])
-            self._attr_rows.append([meta["attrs"].get(k, -1) for k in self.attributes])
+            row = []
+            for k in self.attributes:
+                if k not in meta["attrs"]:
+                    # reference data_utils.py:724 KeyErrors on raw_data[k];
+                    # defaulting to -1 would silently bucket these samples
+                    # into fairness group -1 for every downstream metric
+                    raise KeyError(
+                        f"attribute {k!r} missing from {fname} "
+                        f"(available: {sorted(meta['attrs'])})")
+                row.append(meta["attrs"][k])
+            self._attr_rows.append(row)
 
     # ---------------------------------------------------------------- index
     def _load_or_build_index(self, csv_path, filenames, use_cache):
@@ -242,7 +258,10 @@ class FairFedMedDataset:
 
         if m == "slo_fundus":
             img = np.transpose(raw["slo_fundus"]).astype(np.float32)
-            if img.shape[0] != res or img.shape[1] != res:
+            # height-only trigger like the reference (data_utils.py:669
+            # checks shape[1] of the [1,H,W] array): a width-only mismatch
+            # passes through un-resized there, so it must here too
+            if img.shape[0] != res:
                 img = _resize2d(img, res)
             img = img[None]
             if self.depth > 1:
@@ -253,7 +272,10 @@ class FairFedMedDataset:
                 oct_img = np.stack([_resize2d(s, res) for s in oct_img])
             img = oct_img
         elif m == "oct_bscans_3d":
-            img = raw["oct_bscans"].astype(np.float32)[None]
+            # floor each voxel before the float cast (data_utils.py:655-656
+            # astype(int).astype(np.float32)) — identity for uint8 sites,
+            # load-bearing for float-source volumes
+            img = raw["oct_bscans"].astype(np.int64).astype(np.float32)[None]
         elif m == "rnflt":
             img = raw["rnflt"].astype(np.float32)
             if img.shape[0] != res:

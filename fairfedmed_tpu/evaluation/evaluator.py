@@ -9,6 +9,7 @@ auc, ...] (federated_main.py:686-690).
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict, defaultdict
 
 import numpy as np
@@ -97,6 +98,20 @@ class Classification:
                 print(f"* class: {label} ({self._lab2cname[label]})\t"
                       f"total: {len(res):,}\tcorrect: {sum(res):,}\tacc: {acc_c:.2f}%")
             results["perclass_accuracy"] = float(np.mean(accs))
+        if getattr(self.cfg.TEST, "COMPUTE_CMAT", False):
+            # row-normalized confusion matrix over the observed label set
+            # (Dassl evaluator.py:117-124, sklearn normalize="true"); saved
+            # as .npy — numpy array, no torch — instead of torch's cmat.pt
+            labels = sorted(set(self._y_true) | set(self._y_pred))
+            lut = {lb: j for j, lb in enumerate(labels)}
+            cmat = np.zeros((len(labels), len(labels)), np.float64)
+            for t, p in zip(self._y_true, self._y_pred):
+                cmat[lut[t], lut[p]] += 1
+            with np.errstate(invalid="ignore"):
+                cmat /= cmat.sum(axis=1, keepdims=True)
+            save_path = os.path.join(self.cfg.OUTPUT_DIR, "cmat.npy")
+            np.save(save_path, cmat)
+            print(f"Confusion matrix is saved to {save_path}")
         return results
 
 
@@ -125,8 +140,9 @@ class Classification_oph:
         if mo.shape == gt.shape:
             # binary sigmoid outputs [B]: threshold, don't argmax (which
             # would collapse over the batch)
-            self._pred_prob.append(_sigmoid(mo))
-            pred = (_sigmoid(mo) >= 0.5).astype(gt.dtype)
+            prob = _sigmoid(mo)
+            self._pred_prob.append(prob)
+            pred = (prob >= 0.5).astype(gt.dtype)
         else:
             self._pred_prob.append(_softmax(mo))
             pred = mo.argmax(-1)

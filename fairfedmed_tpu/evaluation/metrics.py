@@ -293,6 +293,14 @@ def evalute_comprehensive_perf_scores(preds, gts, attrs=None, num_classes: int =
             if preds.shape == gts.shape:
                 pred_labels = (preds >= 0.5).astype(float)
             else:
+                # reference metrics.py:252 asserts the binary branch only
+                # sees two-column probabilities; >2 columns here means a
+                # multiclass run fell through with the default num_classes=2
+                # and would feed multi-valued "selection rates" into the
+                # binary DPD/EOD — fail fast like the reference
+                assert preds.shape[-1] == 2, (
+                    f"binary fairness branch got {preds.shape[-1]}-column "
+                    "predictions; pass num_classes for multiclass datasets")
                 pred_labels = preds.argmax(-1)
             try:
                 dpd = demographic_parity_difference(gts, pred_labels, sensitive_features=attr)

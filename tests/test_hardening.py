@@ -200,6 +200,101 @@ def test_failed_feature_build_is_stamped_and_skipped(fake_native, monkeypatch):
     assert len(attempts) == n_first  # cached .so served, no new compiles
 
 
+# ---------------------------------------------- reference data semantics
+def _mk_fair_ds(tmp_path, modality, member_arrays, res=8):
+    """A FairFedMedDataset wired straight to one handcrafted NPZ (bypasses
+    CSV/index plumbing to unit-test the load_item modality branches)."""
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    ds = FairFedMedDataset.__new__(FairFedMedDataset)
+    ds.data_path = str(tmp_path)
+    ds.modality_type = modality
+    ds.resolution = res
+    ds.depth = 1
+    ds.attribute_type = "race"
+    ds.attributes = ["race"]
+    ds.data_files = ["a.npz"]
+    ds._labels = [1]
+    ds._attr_rows = [[0]]
+    np.savez(str(tmp_path / "a.npz"), **member_arrays)
+    return ds
+
+
+def test_oct3d_truncates_like_reference(tmp_path):
+    """oct_bscans_3d floors each voxel before the float32 cast
+    (data_utils.py:655-656 astype(int).astype(np.float32)) — identity for
+    uint8 sites, load-bearing for float-source volumes."""
+    vol = np.full((2, 4, 4), 2.7, np.float32)
+    ds = _mk_fair_ds(tmp_path, "oct_bscans_3d", {"oct_bscans": vol})
+    img, label, attrs = ds.load_item(0)
+    np.testing.assert_array_equal(
+        img, np.full((1, 2, 4, 4), 2.0, np.float32))
+
+
+def test_slo_resize_triggers_on_height_only(tmp_path):
+    """slo_fundus resizes iff the TRANSPOSED height mismatches
+    (data_utils.py:669 checks shape[1] of the [1,H,W] array only): a
+    width-only mismatch passes through un-resized like the reference."""
+    stored = np.arange(5 * 8, dtype=np.float32).reshape(5, 8)  # transposed: (8, 5)
+    ds = _mk_fair_ds(tmp_path, "slo_fundus", {"slo_fundus": stored}, res=8)
+    img, _, _ = ds.load_item(0)
+    assert img.shape == (1, 8, 5)  # H==res: untouched (pre-fix: resized to 8x8)
+    np.testing.assert_array_equal(img[0], stored.T)
+
+    ds2 = _mk_fair_ds(tmp_path, "slo_fundus", {"slo_fundus": stored}, res=5)
+    img2, _, _ = ds2.load_item(0)
+    assert img2.shape == (1, 5, 5)  # H!=res: resized
+
+
+def test_missing_listed_attribute_raises(tmp_path):
+    """Any attribute listed in DATASET.ATTRIBUTES but absent from a site NPZ
+    raises (reference data_utils.py:724 KeyError) instead of silently
+    bucketing those samples into fairness group -1."""
+    from tests.fixtures import make_fairfedmed_fixture
+    from fairfedmed_tpu.data.datasets.fairfedmed import FairFedMedDataset
+
+    root = str(tmp_path / "data")
+    make_fairfedmed_fixture(root, n_sites=1, n_train=4, n_test=2, size=8)
+    with pytest.raises(KeyError, match="not_an_attribute"):
+        FairFedMedDataset(
+            base_path=os.path.join(root, "fairfedmed"), site=1,
+            attribute_type="race", attributes=["race", "not_an_attribute"],
+            modality_type="slo_fundus", resolution=8, depth=1, train=True,
+            use_index_cache=False)
+
+
+def test_binary_fairness_branch_rejects_multiclass_preds():
+    """The num_classes==2 DPD/EOD branch asserts two-column probabilities
+    (reference metrics.py:252) — argmax over C>2 columns would feed
+    multi-valued 'selection rates' into the binary fairness metrics."""
+    from fairfedmed_tpu.evaluation import metrics as M
+
+    rng = np.random.default_rng(0)
+    preds = rng.random((12, 3))
+    preds /= preds.sum(-1, keepdims=True)
+    gts = np.array([0, 1] * 6)
+    attrs = np.array([[0, 1] * 6])
+    with pytest.raises(AssertionError, match="3"):
+        M.evalute_comprehensive_perf_scores(preds, gts, attrs)
+
+
+def test_compute_cmat_writes_matrix(tmp_path, capsys):
+    """TEST.COMPUTE_CMAT saves a row-normalized confusion matrix and prints
+    its path (Dassl evaluator.py:117-124; .npy instead of torch's .pt)."""
+    from fairfedmed_tpu.evaluation.evaluator import Classification
+
+    cfg = types.SimpleNamespace(
+        TEST=types.SimpleNamespace(PER_CLASS_RESULT=False, COMPUTE_CMAT=True),
+        OUTPUT_DIR=str(tmp_path))
+    ev = Classification(cfg, lab2cname={0: "a", 1: "b"})
+    ev.process(np.array([[2.0, 1.0], [0.0, 3.0], [1.0, 0.0]]),
+               np.array([0, 1, 1]))
+    ev.evaluate()
+    assert "cmat.npy" in capsys.readouterr().out
+    cm = np.load(os.path.join(str(tmp_path), "cmat.npy"))
+    np.testing.assert_allclose(cm, [[1.0, 0.0], [0.5, 0.5]])
+
+
 def test_build_publishes_atomically(fake_native, monkeypatch):
     """The compile writes a temp name and os.replace-publishes it, so a
     concurrent process can never dlopen a half-written .so; a killed compile
