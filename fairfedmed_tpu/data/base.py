@@ -191,6 +191,16 @@ def generate_federated_dataset(
     disjoint ``round(len/num_users)`` slices.  non-iid: each client owns ALL
     samples of its assigned classes; shared (repeat) classes are dealt in
     disjoint per-client slices like iid.
+
+    Reference quirk, mirrored deliberately: in fold mode (``repeat_rate>0``
+    and ``num_users >= num_shots``) the per-client slice width grows to
+    ``round(len / (num_users/fold))`` but is still indexed by the GLOBAL
+    client index (base_dataset.py:402,457) — clients whose
+    ``idx * width >= len(items)`` receive EMPTY slices for iid/repeat
+    classes, exactly as upstream does.  Similarly ``assign_classes_to_users``
+    leaves ``num_users - fold*round(num_users/fold)`` tail clients in no
+    fold (no repeat classes), mirroring ``client_idx_fold`` coverage
+    (base_dataset.py:386-392).
     """
     random.seed(2023)  # fixed sample order, as in base_dataset.py:368
     tracker = split_dataset_by_label(data_source)

@@ -74,7 +74,21 @@ def _label_dirichlet(y_train, y_test, n_parties, beta, K, min_require_size=10):
     capped so no client exceeds N/n_parties before renormalisation."""
     N_train = len(y_train)
     min_size = 0
+    tries = 0
     while min_size < min_require_size:
+        # The reference loops unconditionally (datasplit.py:298) — with a
+        # test split smaller than min_require_size * n_parties it spins
+        # FOREVER.  Each retry consumes the same RNG draws as the
+        # reference, so results are identical wherever the reference
+        # terminates; where it would hang, raise a diagnosis instead.
+        tries += 1
+        if tries > 1000:
+            raise RuntimeError(
+                f"noniid-labeldir cannot satisfy min_require_size="
+                f"{min_require_size} for {n_parties} parties over "
+                f"{len(y_train)} train / {len(y_test)} test samples after "
+                "1000 redraws (the reference loops forever here) — use "
+                "fewer parties or a larger split")
         idx_batch_train = [[] for _ in range(n_parties)]
         idx_batch_test = [[] for _ in range(n_parties)]
         for k in range(K):

@@ -48,12 +48,13 @@ def resize(img, size, interpolation="bilinear"):
 
 def resize_short_edge(img, s, interpolation="bilinear"):
     """torchvision Resize(int) semantics: the SHORTER edge becomes ``s``,
-    aspect ratio preserved."""
+    aspect ratio preserved; the long edge TRUNCATES like torchvision's
+    ``int(size * long / short)`` (not round)."""
     h, w = img.shape[:2]
     if h <= w:
-        nh, nw = s, max(1, int(round(w * s / h)))
+        nh, nw = s, max(1, int(w * s / h))
     else:
-        nh, nw = max(1, int(round(h * s / w))), s
+        nh, nw = max(1, int(h * s / w)), s
     return resize(img, (nh, nw), interpolation)
 
 
@@ -71,8 +72,11 @@ def random_crop(img, size, padding=4):
 
 def center_crop(img, size):
     h, w = (size, size) if isinstance(size, int) else size
-    top = max((img.shape[0] - h) // 2, 0)
-    left = max((img.shape[1] - w) // 2, 0)
+    # round-half offsets like torchvision F.center_crop
+    # (int(round((H - h) / 2.0))), not floor — differs by one pixel when
+    # the margin is odd
+    top = max(int(round((img.shape[0] - h) / 2.0)), 0)
+    left = max(int(round((img.shape[1] - w) / 2.0)), 0)
     return img[top : top + h, left : left + w]
 
 
@@ -90,7 +94,18 @@ def random_resized_crop(img, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
             left = np.random.randint(0, w - cw + 1)
             crop = img[top : top + ch, left : left + cw]
             return resize(crop, size, interpolation)
-    return resize(center_crop(img, min(h, w)), size, interpolation)
+    # torchvision fallback: clamp to the nearest allowed aspect ratio while
+    # keeping as much of the image as possible (NOT a square min(h,w) crop,
+    # which would discard content torchvision keeps on extreme panoramas)
+    in_ratio = w / h
+    if in_ratio < min(ratio):
+        cw, ch = w, int(round(w / min(ratio)))
+    elif in_ratio > max(ratio):
+        cw, ch = int(round(h * max(ratio))), h
+    else:
+        cw, ch = w, h
+    top, left = (h - ch) // 2, (w - cw) // 2
+    return resize(img[top : top + ch, left : left + cw], size, interpolation)
 
 
 def random_translation(img, size, interpolation="bilinear", p=0.5):
@@ -163,14 +178,18 @@ def colorjitter(img, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.0):
         ops.append(_hue)
     out = img
     for i in np.random.permutation(len(ops)):
-        out = ops[int(i)](out)
-    return np.clip(out, 0, 255)
+        # PIL's enhance ops saturate at [0,255] per OP (uint8 images), so
+        # later stages must compose from the clamped value — an end-only
+        # clip lets a brightened 350 feed the contrast blend where the
+        # reference computes from 255.  Float precision is kept (no per-op
+        # uint8 rounding; the hue op quantizes internally via cv2 HSV).
+        out = np.clip(ops[int(i)](out), 0, 255)
+    return out
 
 
 def randomgrayscale(img, p=0.1):
     if np.random.rand() < p:
-        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
-        return np.repeat(gray[..., None], img.shape[-1], axis=-1)
+        return np.repeat(_grayscale(img)[..., None], img.shape[-1], axis=-1)
     return img
 
 

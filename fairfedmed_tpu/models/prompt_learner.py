@@ -90,9 +90,13 @@ def init_prompt_learner(
     is_csc = bool(csc) and not ctx_init
     prompts = [f"{prompt_prefix} {name}." for name in classnames]
     tokenized = tk.tokenize(prompts)  # [n_cls, 77]
-    tokenized = np.tile(tokenized, (n_prompts, 1))  # [N*n_cls, 77]
 
-    embedding = _gather_rows(tokenized)  # [N*n_cls, 77, dim]
+    # gather the n_cls unique rows ONCE, then tile on host: the n_prompts
+    # copies are identical, and this fetch is exactly the remote-TPU
+    # transfer the docstring flags — tiling first would pull n_prompts
+    # redundant copies over the tunnel
+    embedding = np.tile(_gather_rows(tokenized), (n_prompts, 1, 1))
+    tokenized = np.tile(tokenized, (n_prompts, 1))  # [N*n_cls, 77]
 
     # state buffers stay HOST numpy: inside jit they embed as cheap literal
     # constants — device-array closures would force a host materialization

@@ -328,7 +328,7 @@ class TrainerX(SimpleTrainer):
         if n_seen and self._lr_steps == lr_steps_before:
             self.update_lr()
             if getattr(self, "opt_state", None) is not None:
-                from ..optim import set_learning_rate
+                from .optim import set_learning_rate
 
                 self.opt_state = set_learning_rate(
                     self.opt_state, self.get_current_lr())

@@ -64,7 +64,12 @@ def build_optimizer(optim_cfg) -> optax.GradientTransformation:
     elif name == "rmsprop":
         core = optax.inject_hyperparams(
             lambda learning_rate: with_decay(
-                optax.rmsprop(learning_rate, decay=optim_cfg.RMSPROP_ALPHA, momentum=momentum)
+                # eps_in_sqrt=False: torch.optim.RMSprop divides by
+                # sqrt(v) + eps, optax's default by sqrt(v + eps) — at small
+                # v the two differ by ~3x in step size (torch-oracle test)
+                optax.rmsprop(learning_rate, decay=optim_cfg.RMSPROP_ALPHA,
+                              momentum=momentum if momentum > 0 else None,
+                              eps_in_sqrt=False)
             )
         )(learning_rate=lr)
     elif name == "radam":

@@ -67,11 +67,20 @@ def test_lr_steps_even_when_stream_ends_short():
     """num_batches = len(loader) is an estimate for structured samplers; an
     epoch whose actual stream is SHORTER must still advance the LR schedule
     exactly once (pre-fix: the last-batch gate never fired and the schedule
-    silently froze for the rest of the run)."""
+    silently froze for the rest of the run) — and push the new LR into a
+    real optax opt_state (the import inside the fallback must resolve)."""
+    import optax
+
     t, calls = _mk_trainer(n_len=3, n_real=2)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1)
+    t.opt_state = tx.init({"w": np.zeros(2, np.float32)})
     t._run_epoch_inner(0, 0)
     assert sum(calls) == 2          # both real batches trained
     assert t._lr_steps == 1         # stepped once by the after-loop fallback
+    from fairfedmed_tpu.train.optim import get_learning_rate
+
+    np.testing.assert_allclose(get_learning_rate(t.opt_state),
+                               t.lr_sched.lr(1))
 
 
 def test_lr_steps_once_when_stream_matches():

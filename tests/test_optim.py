@@ -75,6 +75,36 @@ def test_sgd_matches_torch_semantics():
     np.testing.assert_allclose(np.asarray(new_p2["w"]), expect - 0.1 * buf2, rtol=1e-5)
 
 
+def test_rmsprop_matches_torch():
+    """optax rmsprop needs eps_in_sqrt=False to match torch.optim.RMSprop's
+    g/(sqrt(v)+eps) denominator — the optax default rsqrt(v+eps) differs ~3x
+    at small v.  Oracle: the actual torch optimizer, several steps."""
+    import torch
+
+    cfg = _optim_cfg(NAME="rmsprop", LR=0.01, MOMENTUM=0.9,
+                     WEIGHT_DECAY=0.01, RMSPROP_ALPHA=0.99)
+    tx = build_optimizer(cfg)
+    w0 = np.array([1.0, -2.0, 0.5], np.float64)
+    grads = [np.array([1e-4, 0.5, -0.3]), np.array([0.2, -0.1, 0.4]),
+             np.array([-0.05, 0.3, 0.1])]
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.RMSprop([tw], lr=0.01, alpha=0.99, momentum=0.9,
+                               weight_decay=0.01)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    p = {"w": jnp.asarray(w0)}
+    state = tx.init(p)
+    for g in grads:
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, p)
+        p = optax.apply_updates(p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]),
+                               tw.detach().numpy(), rtol=1e-6, atol=1e-9)
+
+
 def test_set_learning_rate():
     tx = build_optimizer(_optim_cfg(NAME="sgd", LR=0.1, WEIGHT_DECAY=0.0))
     state = tx.init({"w": jnp.zeros(2)})
